@@ -1,0 +1,131 @@
+"""Data layer: split parsing, labels, palette, preprocessing parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vision_transformer_cam_tpu.data import palette, transforms, voc12
+
+
+def test_split_parsing_matches_reference_slice(tmp_path):
+    """voc12/data.py:60-66 uses the fixed [-15:-4] slice."""
+    p = tmp_path / "split.txt"
+    p.write_text("/JPEGImages/2007_000032.jpg /SegmentationClassAug/2007_000032.png\n"
+                 "/JPEGImages/2008_000006.jpg\n")
+    assert voc12.load_img_name_list(str(p)) == ["2007_000032", "2008_000006"]
+
+
+def test_real_reference_splits_parse():
+    ref = "/root/reference/voc12"
+    if not os.path.isdir(ref):
+        pytest.skip("reference not mounted")
+    names = voc12.load_img_name_list(os.path.join(ref, "train.txt"))
+    assert len(names) == 1464 and names[0] == "2007_000032"
+    labels = voc12.load_image_label_list_from_npy(
+        names[:5], os.path.join(ref, "cls_labels.npy"))
+    assert labels[0].shape == (20,) and labels[0].dtype == np.float32
+
+
+def test_xml_label_loading(tmp_path):
+    ann = tmp_path / "Annotations"
+    ann.mkdir()
+    (ann / "x.xml").write_text(
+        "<annotation><object><name>dog</name></object>"
+        "<object><name>person</name></object>"
+        "<object><name>notaclass</name></object></annotation>")
+    lab = voc12.load_image_label_from_xml("x", str(tmp_path))
+    expect = np.zeros(20, np.float32)
+    expect[voc12.CAT_NAME_TO_NUM["dog"]] = 1
+    expect[voc12.CAT_NAME_TO_NUM["person"]] = 1
+    np.testing.assert_array_equal(lab, expect)
+
+
+def test_palette_roundtrip(tmp_path):
+    pal = palette.voc_palette_flat()
+    assert len(pal) == 768
+    # VOC class 1 (aeroplane) is (128, 0, 0)
+    assert pal[3:6] == [128, 0, 0]
+    p = tmp_path / "palette.json"
+    palette.save_palette_json(str(p))
+    assert palette.load_palette_json(str(p)) == pal
+
+
+def test_palette_matches_png_extraction(tmp_path):
+    """get_palette.py parity: writing a PNG with our palette and re-extracting
+    yields the same flat list."""
+    labels = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    png = tmp_path / "seg.png"
+    palette.save_indexed_png(str(png), labels)
+    assert palette.palette_from_png(str(png)) == palette.voc_palette_flat()
+
+
+def test_preprocess_matches_torchvision():
+    torchvision = pytest.importorskip("torchvision")
+    from torchvision import transforms as T
+    import PIL.Image
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, size=(300, 400, 3), dtype=np.uint8)
+    img = PIL.Image.fromarray(arr)
+    ref_t = T.Compose([T.Resize([224, 224]), T.ToTensor(),
+                       T.Normalize([0.485, 0.456, 0.406],
+                                   [0.229, 0.224, 0.225])])
+    ref = ref_t(img).numpy().transpose(1, 2, 0)
+    ours = transforms.preprocess_array(arr, 224,
+                                       (0.485, 0.456, 0.406),
+                                       (0.229, 0.224, 0.225))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_seg_resize_nearest_matches_torchvision():
+    torchvision = pytest.importorskip("torchvision")
+    from torchvision.transforms import functional as F
+    from torchvision import transforms as T
+    import torch
+    rng = np.random.default_rng(1)
+    seg = rng.integers(0, 21, size=(100, 150)).astype(np.uint8)
+    import PIL.Image
+    ref = np.asarray(F.resize(PIL.Image.fromarray(seg), 224,
+                              interpolation=T.InterpolationMode.NEAREST))
+    ours = transforms.seg_resize_nearest(seg, 224)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_batch_loader(tmp_path):
+    class FakeDataset:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"name": str(i),
+                    "image": np.full((4, 4, 3), i, np.float32),
+                    "label": np.zeros(20, np.float32)}
+
+    from vision_transformer_cam_tpu.data.loader import BatchLoader
+    dl = BatchLoader(FakeDataset(), batch_size=4, shuffle=True, drop_last=True,
+                     seed=0, num_threads=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (4, 4, 4, 3)
+    # two epochs with different shuffles
+    names0 = [n for b in batches for n in b["name"]]
+    dl.set_epoch(1)
+    names1 = [n for b in dl for n in b["name"]]
+    assert names0 != names1
+
+
+def test_batch_loader_process_sharding():
+    class FakeDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"name": str(i), "image": np.zeros((2, 2, 3), np.float32)}
+
+    from vision_transformer_cam_tpu.data.loader import BatchLoader
+    seen = []
+    for pi in range(2):
+        dl = BatchLoader(FakeDataset(), batch_size=2, shuffle=False,
+                         process_index=pi, process_count=2)
+        seen += [n for b in dl for n in b["name"]]
+    assert sorted(seen) == [str(i) for i in range(8)]

@@ -1,0 +1,260 @@
+"""Typed configuration for the TPU-native ViT-CAM framework.
+
+The reference (Jingfeng-Tang/vision_transformer_cam) scatters its magic constants
+through the code: mask threshold 0.25 (vit_model.py:339), mask logit value -100
+(vit_model.py:361), top-k 16 patches (vit_model.py:377), mask layer cutoffs 4/5
+(vit_model.py:118,325), classifier threshold 0.9 (validate.py:133), cosine
+foreground threshold 0.5 (validate.py:184), rollout background threshold 0.05
+(validate.py:244), heatmap blend 0.3/0.5 (utils.py:114).  Here they all live in
+one frozen dataclass tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTCAMConfig:
+    """Model + CAM-mechanism configuration.
+
+    Mirrors the constructor surface of the reference VisionTransformer
+    (vit_model.py:214-301) plus the CAM mechanism constants, expressed
+    TPU-first (static shapes, explicit dtypes).
+    """
+
+    # --- architecture (vit_model.py:215-219) ---
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    num_classes: int = 20
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    representation_size: Optional[int] = None  # pre_logits layer if set
+    distilled: bool = False
+
+    # --- regularization (all default 0 in the config of record) ---
+    drop_ratio: float = 0.0
+    attn_drop_ratio: float = 0.0
+    drop_path_ratio: float = 0.0
+
+    # --- CAM / attention-mask mechanism (vit_model.py:118,319-361,363-394) ---
+    # Mask is (re)computed at the end of every block with index >= mask_from
+    # and additively applied (value mask_value on bg-involving pairs) to every
+    # block with index > mask_from.
+    mask_from: int = 4
+    mask_threshold: float = 0.25
+    mask_value: float = -100.0
+    top_k_patches: int = 16
+    # Reference normalizes the rollout cls-row by the *batch-global* max
+    # (vit_model.py:335,372).  Set True for per-sample normalization instead.
+    per_sample_mask_norm: bool = False
+
+    # --- numerics ---
+    ln_eps: float = 1e-6  # vit_model.py:244
+    dtype: jnp.dtype = jnp.float32       # activation dtype
+    param_dtype: jnp.dtype = jnp.float32
+
+    # --- implementation switches ---
+    attn_impl: str = "xla"  # "xla" | "pallas"
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+    @property
+    def num_tokens(self) -> int:
+        return 2 if self.distilled else 1
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + self.num_tokens
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def scale(self) -> float:
+        return self.qk_scale if self.qk_scale is not None else self.head_dim ** -0.5
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+    @property
+    def has_logits(self) -> bool:
+        return self.representation_size is not None and not self.distilled
+
+    def replace(self, **kw) -> "ViTCAMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """VOC12 data pipeline configuration (voc12/data.py, transforms at
+    train_and_validate.py:63-69)."""
+
+    voc12_root: str = ""
+    img_name_list_path: str = ""
+    cls_labels_path: str = ""  # cls_labels.npy; derived from voc12 dir if empty
+    img_size: int = 224
+    # ImageNet normalization, exactly the reference's constants
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    batch_size: int = 32
+    shuffle: bool = True
+    drop_last: bool = True
+    seg_labels: bool = False
+    num_threads: int = 4
+    prefetch: int = 2
+    seed: int = 0
+    loader_impl: str = "auto"  # "auto" | "native" | "pil"
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """timm create_optimizer/create_scheduler-compatible hyperparameters
+    (train_and_validate.py:214-251)."""
+
+    opt: str = "adamw"
+    lr: float = 5e-4
+    # The entry scales lr by batch/512 (train_and_validate.py:148-149)
+    linear_lr_scaling: bool = True
+    opt_eps: float = 1e-8
+    betas: Tuple[float, float] = (0.9, 0.999)
+    weight_decay: float = 0.05
+    clip_grad: Optional[float] = None
+    sched: str = "cosine"
+    epochs: int = 1000
+    warmup_epochs: int = 5
+    warmup_lr: float = 1e-6
+    min_lr: float = 1e-5
+    cooldown_epochs: int = 10
+    decay_epochs: float = 30
+    decay_rate: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    batch_size: int = 16
+    seed: int = 0
+    freeze_backbone: bool = False  # train_and_validate.py:130-137
+    log_every: int = 50
+    ckpt_dir: str = "./weights"
+    mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel by default
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclasses.dataclass(frozen=True)
+class PseudoSegConfig:
+    """validate.py pseudo-segmentation constants (validate.py:133,184,244)."""
+
+    cls_threshold: float = 0.9
+    fg_cos_threshold: float = 0.5
+    bg_rollout_threshold: float = 0.05
+    bg_blocks_from: int = 5  # rollout bg mask uses blocks 6..12 (validate.py:227)
+
+
+# ---------------------------------------------------------------------------
+# Model zoo: the 8 factory configurations of vit_model.py:445-577
+# ---------------------------------------------------------------------------
+
+def vit_base_patch16_224(num_classes: int = 1000) -> ViTCAMConfig:
+    """vit_model.py:445-459"""
+    return ViTCAMConfig(img_size=224, patch_size=16, embed_dim=768, depth=12,
+                        num_heads=12, representation_size=None,
+                        num_classes=num_classes)
+
+
+def vit_base_patch16_224_in21k(num_classes: int = 21843,
+                               has_logits: bool = True) -> ViTCAMConfig:
+    """vit_model.py:462-476 — the flagship model used by all entries."""
+    return ViTCAMConfig(img_size=224, patch_size=16, embed_dim=768, depth=12,
+                        num_heads=12,
+                        representation_size=768 if has_logits else None,
+                        num_classes=num_classes)
+
+
+def vit_base_patch32_224(num_classes: int = 1000) -> ViTCAMConfig:
+    """vit_model.py:479-493"""
+    return ViTCAMConfig(img_size=224, patch_size=32, embed_dim=768, depth=12,
+                        num_heads=12, representation_size=None,
+                        num_classes=num_classes)
+
+
+def vit_base_patch32_224_in21k(num_classes: int = 21843,
+                               has_logits: bool = True) -> ViTCAMConfig:
+    """vit_model.py:496-510"""
+    return ViTCAMConfig(img_size=224, patch_size=32, embed_dim=768, depth=12,
+                        num_heads=12,
+                        representation_size=768 if has_logits else None,
+                        num_classes=num_classes)
+
+
+def vit_large_patch16_224(num_classes: int = 1000) -> ViTCAMConfig:
+    """vit_model.py:513-527"""
+    return ViTCAMConfig(img_size=224, patch_size=16, embed_dim=1024, depth=24,
+                        num_heads=16, representation_size=None,
+                        num_classes=num_classes)
+
+
+def vit_large_patch16_224_in21k(num_classes: int = 21843,
+                                has_logits: bool = True) -> ViTCAMConfig:
+    """vit_model.py:530-544"""
+    return ViTCAMConfig(img_size=224, patch_size=16, embed_dim=1024, depth=24,
+                        num_heads=16,
+                        representation_size=1024 if has_logits else None,
+                        num_classes=num_classes)
+
+
+def vit_large_patch16_384(num_classes: int = 1000) -> ViTCAMConfig:
+    """High-res config (BASELINE.json config #4): 384px -> 577 tokens.
+    Exceeds the reference's own fixed-size capability; pos-embed interpolation
+    in io/weights.py makes 224-trained weights loadable."""
+    return ViTCAMConfig(img_size=384, patch_size=16, embed_dim=1024, depth=24,
+                        num_heads=16, representation_size=None,
+                        num_classes=num_classes)
+
+
+def vit_large_patch32_224_in21k(num_classes: int = 21843,
+                                has_logits: bool = True) -> ViTCAMConfig:
+    """vit_model.py:547-561"""
+    return ViTCAMConfig(img_size=224, patch_size=32, embed_dim=1024, depth=24,
+                        num_heads=16,
+                        representation_size=1024 if has_logits else None,
+                        num_classes=num_classes)
+
+
+def vit_huge_patch14_224_in21k(num_classes: int = 21843,
+                               has_logits: bool = True) -> ViTCAMConfig:
+    """vit_model.py:564-577"""
+    return ViTCAMConfig(img_size=224, patch_size=14, embed_dim=1280, depth=32,
+                        num_heads=16,
+                        representation_size=1280 if has_logits else None,
+                        num_classes=num_classes)
+
+
+MODEL_ZOO = {
+    "vit_base_patch16_224": vit_base_patch16_224,
+    "vit_base_patch16_224_in21k": vit_base_patch16_224_in21k,
+    "vit_base_patch32_224": vit_base_patch32_224,
+    "vit_base_patch32_224_in21k": vit_base_patch32_224_in21k,
+    "vit_large_patch16_224": vit_large_patch16_224,
+    "vit_large_patch16_224_in21k": vit_large_patch16_224_in21k,
+    "vit_large_patch16_384": vit_large_patch16_384,
+    "vit_large_patch32_224_in21k": vit_large_patch32_224_in21k,
+    "vit_huge_patch14_224_in21k": vit_huge_patch14_224_in21k,
+}

@@ -1,0 +1,125 @@
+"""Batched host data pipeline with background prefetch.
+
+Replaces the reference's torch DataLoader + DistributedSampler
+(train_and_validate.py:87-104).  Decode/resize runs on a thread pool (PIL
+releases the GIL in decode/resize), batches are assembled as contiguous NHWC
+arrays, and a bounded queue keeps `prefetch` batches ready ahead of the
+consumer.  Per-host sharding for multi-process training takes the
+process_index/process_count stripe of the epoch permutation — the SPMD analog
+of DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0, num_threads: int = 4,
+                 prefetch: int = 2, process_index: int = 0,
+                 process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.prefetch = max(1, prefetch)
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """DistributedSampler.set_epoch equivalent: reshuffle per epoch."""
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        # per-host stripe (pad to a multiple of process_count like
+        # DistributedSampler does, by wrapping)
+        if self.process_count > 1:
+            total = -(-n // self.process_count) * self.process_count
+            idx = np.concatenate([idx, idx[:total - n]])
+            idx = idx[self.process_index::self.process_count]
+        return idx
+
+    def __len__(self):
+        n = len(self._epoch_indices())
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._epoch_indices()
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def collate(items):
+            batch = {"name": [it["name"] for it in items],
+                     "image": np.stack([it["image"] for it in items])}
+            if "label" in items[0]:
+                batch["label"] = np.stack([it["label"] for it in items])
+            if "seg_label" in items[0]:
+                # seg labels keep native size; batch=1 paths use them directly
+                segs = [it["seg_label"] for it in items]
+                batch["seg_label"] = np.stack(segs) if len(
+                    {s.shape for s in segs}) == 1 else segs
+            return batch
+
+        def producer():
+            with ThreadPoolExecutor(self.num_threads) as pool:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    sl = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    items = list(pool.map(self.dataset.__getitem__, sl))
+                    q.put(collate(items))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def device_prefetch(iterator, sharding=None, size: int = 2):
+    """Overlap H2D transfer with compute: keep `size` device-resident batches
+    in flight.  `sharding` is a jax.sharding.Sharding for the image/label
+    arrays (per-host global batches under pjit)."""
+    import collections
+
+    import jax
+
+    def put(batch):
+        out = dict(batch)
+        for k in ("image", "label"):
+            if k in out and isinstance(out[k], np.ndarray):
+                out[k] = jax.device_put(out[k], sharding) if sharding is not None \
+                    else jax.device_put(out[k])
+        return out
+
+    buf = collections.deque()
+    it = iter(iterator)
+    for batch in it:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -1,0 +1,380 @@
+"""TPU-native Vision Transformer with CAM attention-mask feedback.
+
+Re-designs the reference model (vit_model.py:214-424) as a pure function over a
+parameter pytree:
+
+* the 12-block Python loop with its iterative foreground/background attention
+  mask (vit_model.py:319-361) becomes a single ``jax.lax.scan`` whose carry
+  holds the background-token indicator vector — the additive -100 pair mask is
+  reconstructed on the fly from that rank-1 structure instead of materializing
+  a [B,197,197] mask per step;
+* the per-sample Python loops of the reference (threshold at
+  vit_model.py:338-341, top-16 gather at vit_model.py:375-388) are vectorized
+  with ``top_k`` / ``take_along_axis``;
+* attention emits the head-mean cls row (all any consumer ever needs for the
+  mask and rollout math) so nothing forces a [B,H,N,N] materialization on the
+  hot path; full matrices are opt-in for the predict/validate visualization
+  paths.
+
+Numerical parity notes (golden-tested against the reference):
+  - GELU is the exact erf form (torch nn.GELU default), not tanh approx.
+  - LayerNorm eps 1e-6 (vit_model.py:244).
+  - The rollout row normalization divides by the *batch-global* max
+    (vit_model.py:335,372) unless cfg.per_sample_mask_norm.
+  - Mask applies additively pre-softmax with value -100 (vit_model.py:361),
+    from block index 5 on; it is recomputed at the end of every block >= 4.
+  - Attention weights are snapshot pre-dropout (vit_model.py:128).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vision_transformer_cam_tpu.configs import ViTCAMConfig
+
+
+class ViTCAMOutput(NamedTuple):
+    """Everything the reference 6-tuple return (vit_model.py:406,424) carries,
+    in structured form.
+
+    Correspondence with the reference:
+      logits            <-> x (cls-head logits)
+      head1_logits      <-> allbs_hw_p_ts (top-16 patch-head logits)
+      attn_headmean     <-> attn_weights, already head-meaned [depth,B,N,N]
+      attn_perhead      <-> attn_weights verbatim [depth,B,H,N,N] (parity only)
+      block_outputs     <-> attn_matrix [depth,B,N,C]
+      top_patch_embeds  <-> ori_allbs_hw_p_ts [B,K,C]
+      head1_kernel      <-> clsh1_weight, transposed: ours is [C,num_classes]
+      attn_cls_rows     — head-mean attention row of the cls token per layer,
+                          [depth,B,N]; sufficient statistic for mask-gen,
+                          rollout bg masks and the top-16 selection.
+    """
+
+    logits: jax.Array
+    head1_logits: jax.Array
+    attn_cls_rows: jax.Array
+    top_patch_embeds: jax.Array
+    top_patch_idx: jax.Array
+    head1_kernel: jax.Array
+    attn_headmean: Optional[jax.Array] = None
+    attn_perhead: Optional[jax.Array] = None
+    block_outputs: Optional[jax.Array] = None
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x, scale, bias, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale + bias
+
+
+def _gelu(x):
+    # torch nn.GELU default is the exact erf form.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _dropout(rng, rate, x):
+    if rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def _drop_path(rng, rate, x):
+    """Per-sample stochastic depth (vit_model.py:20-36)."""
+    if rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, dtype=x.dtype))
+    return x / keep * mask
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std, dtype):
+    # torch nn.init.trunc_normal_ truncates at absolute [-2, 2].
+    lo, hi = -2.0 / std, 2.0 / std
+    return (jax.random.truncated_normal(key, lo, hi, shape) * std).astype(dtype)
+
+
+def init(cfg: ViTCAMConfig, key: jax.Array):
+    """Build the parameter pytree with the reference's init scheme
+    (vit_model.py:285-289,427-442)."""
+    d, hid, nc = cfg.embed_dim, cfg.mlp_hidden, cfg.num_classes
+    pdt = cfg.param_dtype
+    keys = iter(jax.random.split(key, 64))
+
+    def linear(kin, kout, std=0.01):
+        return {"kernel": _trunc_normal(next(keys), (kin, kout), std, pdt),
+                "bias": jnp.zeros((kout,), pdt)}
+
+    def ln(dim):
+        return {"scale": jnp.ones((dim,), pdt), "bias": jnp.zeros((dim,), pdt)}
+
+    # patch embed: torch Conv2d kaiming_normal_(mode=fan_out) —
+    # fan_out = embed_dim * kh * kw, std = sqrt(2 / fan_out).
+    fan_out = d * cfg.patch_size * cfg.patch_size
+    pk = jax.random.normal(next(keys),
+                           (cfg.patch_size * cfg.patch_size * cfg.in_chans, d)) \
+        * jnp.sqrt(2.0 / fan_out)
+    params = {
+        "patch_embed": {"kernel": pk.astype(pdt), "bias": jnp.zeros((d,), pdt)},
+        "cls_token": _trunc_normal(next(keys), (1, 1, d), 0.02, pdt),
+        "pos_embed": _trunc_normal(next(keys), (1, cfg.seq_len, d), 0.02, pdt),
+        "norm": ln(d),
+        "head1": linear(d, nc),
+    }
+    if cfg.distilled:
+        params["dist_token"] = _trunc_normal(next(keys), (1, 1, d), 0.02, pdt)
+        params["head_dist"] = linear(d, nc)
+    if cfg.has_logits:
+        params["pre_logits"] = linear(d, cfg.representation_size)
+        params["head"] = linear(cfg.representation_size, nc)
+    else:
+        params["head"] = linear(d, nc)
+
+    def one_block(k):
+        k = iter(jax.random.split(k, 8))
+
+        def blin(kin, kout):
+            return {"kernel": _trunc_normal(next(k), (kin, kout), 0.01, pdt),
+                    "bias": jnp.zeros((kout,), pdt)}
+
+        return {
+            "ln1": ln(d),
+            "attn": {"qkv": blin(d, 3 * d), "proj": blin(d, d)},
+            "ln2": ln(d),
+            "mlp": {"fc1": blin(d, hid), "fc2": blin(hid, d)},
+        }
+
+    blocks = [one_block(jax.random.fold_in(next(keys), i))
+              for i in range(cfg.depth)]
+    # Stack per-layer trees along a leading depth axis for lax.scan.
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def patch_embed(params, x, cfg: ViTCAMConfig):
+    """16x16/s16 conv (vit_model.py:64,76) as a reshape + one MXU matmul.
+
+    x: [B, H, W, C] (NHWC — TPU-preferred layout).  Returns [B, P, D].
+    """
+    b, h, w, c = x.shape
+    p, g = cfg.patch_size, cfg.grid_size
+    if h != cfg.img_size or w != cfg.img_size:
+        raise ValueError(
+            f"Input image size ({h}*{w}) doesn't match model "
+            f"({cfg.img_size}*{cfg.img_size}).")
+    x = x.reshape(b, g, p, g, p, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(b, g * g, p * p * c)
+    return jnp.dot(x, params["kernel"],
+                   preferred_element_type=cfg.dtype) + params["bias"]
+
+
+def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs):
+    """Reference-shaped attention (vit_model.py:103-140), XLA path.
+
+    bg: [B, N] float {0,1} background indicator (cls position always 0);
+    the additive mask is mask_value * min(bg_i + bg_j, 1).
+    Returns (out, cls_row [B,N], probs_headmean or None, probs_perhead or None).
+    """
+    b, n, c = x.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+    qkv = jnp.dot(x, ap["qkv"]["kernel"],
+                  preferred_element_type=cfg.dtype) + ap["qkv"]["bias"]
+    qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                      preferred_element_type=cfg.dtype) * cfg.scale
+    pair = jnp.minimum(bg[:, :, None] + bg[:, None, :], 1.0)
+    attn = attn + (cfg.mask_value * pair)[:, None, :, :]
+    probs = jax.nn.softmax(attn, axis=-1)
+
+    headmean = jnp.mean(probs, axis=1)            # [B, N, N]
+    cls_row = headmean[:, 0, :]                    # [B, N]
+
+    probs_used = _dropout(rngs.get("attn"), cfg.attn_drop_ratio, probs) \
+        if rngs else probs
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs_used, v,
+                     preferred_element_type=cfg.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+    out = jnp.dot(out, ap["proj"]["kernel"],
+                  preferred_element_type=cfg.dtype) + ap["proj"]["bias"]
+    if rngs:
+        out = _dropout(rngs.get("proj"), cfg.drop_ratio, out)
+    ph = probs if need_probs == "perhead" else None
+    hm = headmean if need_probs else None
+    return out, cls_row, hm, ph
+
+
+def _mask_from_cls_row(cls_row, cfg: ViTCAMConfig):
+    """One rollout step on the cls row -> normalized patch weights mask_14
+    and the bg indicator (vit_model.py:329-349)."""
+    aug0 = cls_row.at[:, 0].add(1.0)
+    aug0 = aug0 / jnp.sum(aug0, axis=-1, keepdims=True)
+    mask_i = aug0[:, 1:]                           # [B, num_patches]
+    if cfg.per_sample_mask_norm:
+        mask14 = mask_i / jnp.max(mask_i, axis=-1, keepdims=True)
+    else:
+        mask14 = mask_i / jnp.max(mask_i)          # batch-global, as reference
+    bg_patches = (mask14 < cfg.mask_threshold).astype(cls_row.dtype)
+    bg = jnp.concatenate(
+        [jnp.zeros((cls_row.shape[0], 1), cls_row.dtype), bg_patches], axis=1)
+    return mask14, bg
+
+
+def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
+                     need_headmean=False, need_blocks=False,
+                     need_perhead=False):
+    """vit_model.py:303-408 as a scan.  x: [B, H, W, C]."""
+    b = x.shape[0]
+    tokens = patch_embed(params["patch_embed"], x.astype(cfg.dtype), cfg)
+    cls = jnp.broadcast_to(params["cls_token"].astype(cfg.dtype),
+                           (b, 1, cfg.embed_dim))
+    if cfg.distilled:
+        dist = jnp.broadcast_to(params["dist_token"].astype(cfg.dtype),
+                                (b, 1, cfg.embed_dim))
+        tokens = jnp.concatenate([cls, dist, tokens], axis=1)
+    else:
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+    tokens = tokens + params["pos_embed"].astype(cfg.dtype)
+
+    use_rng = train and rng is not None
+    if use_rng:
+        tokens = _dropout(jax.random.fold_in(rng, 0xD0), cfg.drop_ratio, tokens)
+
+    n = cfg.seq_len
+    dpr = jnp.linspace(0.0, cfg.drop_path_ratio, cfg.depth)
+    layer_idx = jnp.arange(cfg.depth)
+    bg0 = jnp.zeros((b, n), cfg.dtype)
+
+    attn_impl = _attention_xla  # pallas path substituted in apply() wrapper
+    if cfg.attn_impl == "pallas":
+        from vision_transformer_cam_tpu.kernels.attention import (
+            attention_pallas)
+        attn_impl = attention_pallas
+
+    need_probs = "perhead" if need_perhead else (
+        "headmean" if need_headmean else None)
+
+    def body(carry, xs):
+        tok, bg = carry
+        lp, i, dp = xs
+        if use_rng:
+            lrng = jax.random.fold_in(rng, i + 1)
+            rngs = {k: jax.random.fold_in(lrng, j) for j, k in
+                    enumerate(["attn", "proj", "mlp1", "mlp2", "dp1", "dp2"])}
+        else:
+            rngs = None
+        xn = _layer_norm(tok, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.ln_eps)
+        o, cls_row, hm, ph = attn_impl(lp["attn"], xn, bg, cfg, rngs,
+                                       need_probs)
+        if use_rng:
+            o = _drop_path(rngs["dp1"], dp, o)
+        tok = tok + o
+        yn = _layer_norm(tok, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.ln_eps)
+        hmid = _gelu(jnp.dot(yn, lp["mlp"]["fc1"]["kernel"],
+                             preferred_element_type=cfg.dtype)
+                     + lp["mlp"]["fc1"]["bias"])
+        if use_rng:
+            hmid = _dropout(rngs["mlp1"], cfg.drop_ratio, hmid)
+        ymlp = jnp.dot(hmid, lp["mlp"]["fc2"]["kernel"],
+                       preferred_element_type=cfg.dtype) \
+            + lp["mlp"]["fc2"]["bias"]
+        if use_rng:
+            ymlp = _dropout(rngs["mlp2"], cfg.drop_ratio, ymlp)
+            ymlp = _drop_path(rngs["dp2"], dp, ymlp)
+        tok = tok + ymlp
+
+        # Recompute the bg mask from this block's attention when i >= mask_from
+        # (vit_model.py:325-361); it feeds the *next* block.
+        _, new_bg = _mask_from_cls_row(cls_row, cfg)
+        bg = jnp.where(i >= cfg.mask_from, new_bg, bg)
+
+        outs = (cls_row,
+                hm if need_headmean or need_perhead else jnp.zeros((), cfg.dtype),
+                ph if need_perhead else jnp.zeros((), cfg.dtype),
+                tok if need_blocks else jnp.zeros((), cfg.dtype))
+        return (tok, bg), outs
+
+    (tokens, _), (cls_rows, hms, phs, blocks_out) = jax.lax.scan(
+        body, (tokens, bg0), (params["blocks"], layer_idx, dpr))
+
+    # --- top-K high-weight patch head (vit_model.py:363-394) ---
+    mask14, _ = _mask_from_cls_row(cls_rows[-1], cfg)
+    _, top_idx = jax.lax.top_k(mask14, cfg.top_k_patches)      # [B, K]
+    # reference indexes x[j][index+1] on the full token tensor — i.e. skips cls
+    patch_tokens = tokens[:, 1:, :]
+    top_embeds = jnp.take_along_axis(
+        patch_tokens, top_idx[:, :, None], axis=1)              # [B, K, C]
+    head1_in = jnp.mean(top_embeds, axis=1)
+    head1_logits = jnp.dot(head1_in, params["head1"]["kernel"],
+                           preferred_element_type=cfg.dtype) \
+        + params["head1"]["bias"]
+
+    xf = _layer_norm(tokens, params["norm"]["scale"], params["norm"]["bias"],
+                     cfg.ln_eps)
+    cls_feat = xf[:, 0]
+    if cfg.has_logits:
+        cls_feat = jnp.tanh(jnp.dot(cls_feat, params["pre_logits"]["kernel"],
+                                    preferred_element_type=cfg.dtype)
+                            + params["pre_logits"]["bias"])
+
+    aux = dict(
+        attn_cls_rows=cls_rows,
+        attn_headmean=hms if (need_headmean or need_perhead) else None,
+        attn_perhead=phs if need_perhead else None,
+        block_outputs=blocks_out if need_blocks else None,
+        top_patch_embeds=top_embeds,
+        top_patch_idx=top_idx,
+        head1_logits=head1_logits,
+        head1_kernel=params["head1"]["kernel"],
+        dist_feat=xf[:, 1] if cfg.distilled else None,
+    )
+    return cls_feat, aux
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "train", "need_headmean", "need_blocks", "need_perhead"))
+def apply(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
+          need_headmean=False, need_blocks=False, need_perhead=False
+          ) -> ViTCAMOutput:
+    """Full forward (vit_model.py:411-424): features -> cls head, returning the
+    structured equivalent of the reference 6-tuple."""
+    cls_feat, aux = forward_features(
+        params, x, cfg, train=train, rng=rng, need_headmean=need_headmean,
+        need_blocks=need_blocks, need_perhead=need_perhead)
+    logits = jnp.dot(cls_feat, params["head"]["kernel"],
+                     preferred_element_type=cfg.dtype) + params["head"]["bias"]
+    if cfg.distilled:
+        dist_logits = jnp.dot(aux["dist_feat"], params["head_dist"]["kernel"],
+                              preferred_element_type=cfg.dtype) \
+            + params["head_dist"]["bias"]
+        logits = logits if train else (logits + dist_logits) / 2.0
+    return ViTCAMOutput(
+        logits=logits,
+        head1_logits=aux["head1_logits"],
+        attn_cls_rows=aux["attn_cls_rows"],
+        top_patch_embeds=aux["top_patch_embeds"],
+        top_patch_idx=aux["top_patch_idx"],
+        head1_kernel=aux["head1_kernel"],
+        attn_headmean=aux["attn_headmean"],
+        attn_perhead=aux["attn_perhead"],
+        block_outputs=aux["block_outputs"],
+    )
