@@ -1,0 +1,76 @@
+"""Headline benchmark: ViT-B/16 CAM-extraction throughput (images/sec/chip).
+
+The reference pipeline materializes 12x[B,12,197,197] attention tensors and
+runs per-sample Python loops with GPU->CPU syncs (vit_model.py:338-341,
+375-388) plus a post-hoc rollout loop (predict.py:214-232); here the full
+CAM (attention rollout) is fused into the forward scan and everything stays
+on device.  BASELINE.json target: >= 5000 images/sec/chip on TPU v5e.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_S = 5000.0  # BASELINE.json north-star target
+
+
+def main():
+    from vision_transformer_cam_tpu import configs
+    from vision_transformer_cam_tpu.models import vit
+    from vision_transformer_cam_tpu.ops import rollout
+
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
+        if "--batch" in sys.argv else 256
+    dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
+
+    cfg = configs.vit_base_patch16_224_in21k(num_classes=20, has_logits=False)
+    cfg = cfg.replace(dtype=dtype, param_dtype=dtype)
+    params = vit.init(cfg, jax.random.key(0))
+
+    @jax.jit
+    def cam_extract(params, images):
+        out = vit.forward(params, images, cfg, need_rollout=True)
+        cam = rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
+        return out.logits, out.head1_logits, cam
+
+    images = jax.random.normal(
+        jax.random.key(1), (batch, cfg.img_size, cfg.img_size, 3),
+        jnp.float32)
+
+    def sync(res):
+        # On tunneled platforms block_until_ready can be a no-op; a scalar
+        # device->host read is the only reliable execution barrier.
+        return float(jnp.sum(res[2]))
+
+    # compile + warmup
+    sync(cam_extract(params, images))
+    sync(cam_extract(params, images))
+
+    # Chain CHUNK async dispatches per timing window and sync once, so the
+    # host<->device round-trip latency amortizes out of the measurement.
+    chunk, iters, best = 10, 3, float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            res = cam_extract(params, images)
+        sync(res)
+        best = min(best, (time.perf_counter() - t0) / chunk)
+
+    img_per_s = batch / best
+    print(json.dumps({
+        "metric": "vit_b16_cam_extraction_throughput",
+        "value": round(img_per_s, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

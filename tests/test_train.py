@@ -1,0 +1,171 @@
+"""Train-stack tests: schedule curve, sharded train step on the 8-device CPU
+mesh (dp and dp x tp), freeze mask, checkpoint roundtrip, fused rollout."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from vision_transformer_cam_tpu import configs  # noqa: E402
+from vision_transformer_cam_tpu.models import vit  # noqa: E402
+from vision_transformer_cam_tpu.ops import rollout  # noqa: E402
+from vision_transformer_cam_tpu.parallel import mesh as meshlib  # noqa: E402
+from vision_transformer_cam_tpu.train import (  # noqa: E402
+    checkpoint as ckptlib, schedule as sched, state as statelib,
+    step as steplib)
+
+TINY = configs.ViTCAMConfig(img_size=32, patch_size=8, embed_dim=64, depth=6,
+                            num_heads=4, num_classes=20, mask_from=2,
+                            top_k_patches=4, dtype=jnp.float32,
+                            param_dtype=jnp.float32)
+
+
+def _tiny_batch(b=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((b, 32, 32, 3)).astype(np.float32)
+    y = (rng.random((b, 20)) < 0.2).astype(np.float32)
+    y[:, 0] = 1.0  # at least one positive per sample
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_schedule_timm_curve():
+    cfg = configs.OptimConfig(lr=5e-4, warmup_epochs=5, warmup_lr=1e-6,
+                              min_lr=1e-5, epochs=100,
+                              linear_lr_scaling=True)
+    base = sched.scaled_base_lr(cfg, 32)
+    assert base == pytest.approx(5e-4 * 32 / 512)
+    fn = sched.timm_cosine_schedule(cfg, base, steps_per_epoch=10)
+    # epoch 0: warmup_lr exactly
+    assert float(fn(0)) == pytest.approx(1e-6)
+    # constant within an epoch (timm steps per epoch)
+    assert float(fn(3)) == float(fn(9))
+    # epoch 5 (first post-warmup): cos(0) -> base lr
+    assert float(fn(50)) == pytest.approx(base)
+    # mid-cosine epoch 52.5 epochs -> u=0.5 at epoch 52.5; check epoch 100+
+    assert float(fn(100 * 10)) == pytest.approx(1e-5)   # cooldown floor
+    # monotone decrease after warmup
+    vals = [float(fn(e * 10)) for e in range(5, 100, 7)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_train_step_reduces_loss_dp():
+    mesh = meshlib.make_mesh((-1,), ("data",))
+    x, y = _tiny_batch()
+    params = vit.init(TINY, jax.random.key(0))
+    tx, _ = statelib.make_optimizer(
+        configs.OptimConfig(lr=1e-3, warmup_epochs=0, epochs=10,
+                            linear_lr_scaling=False),
+        global_batch_size=8, steps_per_epoch=1)
+    params = meshlib.shard_params(mesh, params)
+    st = statelib.create_train_state(params, tx)
+    sh = meshlib.data_sharding(mesh)
+    x, y = jax.device_put(x, sh), jax.device_put(y, sh)
+    with mesh:
+        st, m0 = steplib.train_step(st, x, y, jax.random.key(1), TINY, tx)
+        for _ in range(10):
+            st, m = steplib.train_step(st, x, y, jax.random.key(1), TINY, tx)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert np.isfinite(float(m["f1"]))
+    assert int(st.step) == 11
+
+
+def test_train_step_tensor_parallel_matches_dp():
+    """dp x tp sharding must produce the same numbers as replicated params."""
+    x, y = _tiny_batch(b=4, seed=3)
+    tx, _ = statelib.make_optimizer(
+        configs.OptimConfig(lr=1e-3, warmup_epochs=0, epochs=10,
+                            linear_lr_scaling=False),
+        global_batch_size=4, steps_per_epoch=1)
+
+    results = []
+    for shape, axes, model_axis in [((4,), ("data",), None),
+                                    ((4, 2), ("data", "model"), "model")]:
+        mesh = meshlib.make_mesh(shape, axes)
+        # fresh (deterministic) init per mesh: train_step donates its input
+        # state, so buffers from a previous iteration must not be reused
+        params = vit.init(TINY, jax.random.key(2))
+        p = meshlib.shard_params(mesh, params, model_axis=model_axis)
+        st = statelib.create_train_state(p, tx)
+        sh = meshlib.data_sharding(mesh)
+        xb, yb = jax.device_put(x, sh), jax.device_put(y, sh)
+        with mesh:
+            st, m = steplib.train_step(st, xb, yb, jax.random.key(1), TINY,
+                                       tx)
+        results.append((float(m["loss"]),
+                        np.asarray(jax.device_get(
+                            st.params["head"]["kernel"]))))
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-5)
+
+
+def test_freeze_backbone_only_heads_move():
+    x, y = _tiny_batch(b=4)
+    params = vit.init(TINY, jax.random.key(0))
+    mask = statelib.trainable_mask(params, freeze_backbone=True)
+    assert mask["head"]["kernel"] is True
+    assert mask["head1"]["kernel"] is True
+    assert mask["blocks"]["attn"]["qkv"]["kernel"] is False
+    tx, _ = statelib.make_optimizer(
+        configs.OptimConfig(lr=1e-2, warmup_epochs=0, epochs=10,
+                            linear_lr_scaling=False),
+        global_batch_size=4, steps_per_epoch=1, freeze_mask=mask)
+    st = statelib.create_train_state(params, tx)
+    before = jax.tree.map(np.asarray, st.params)  # snapshot: step donates st
+    st2, _ = steplib.train_step(st, x, y, jax.random.key(1), TINY, tx)
+    np.testing.assert_array_equal(
+        np.asarray(st2.params["blocks"]["attn"]["qkv"]["kernel"]),
+        before["blocks"]["attn"]["qkv"]["kernel"])
+    assert not np.array_equal(np.asarray(st2.params["head"]["kernel"]),
+                              before["head"]["kernel"])
+    # pos_embed / cls_token are frozen too (reference freeze loop semantics)
+    np.testing.assert_array_equal(np.asarray(st2.params["pos_embed"]),
+                                  before["pos_embed"])
+
+
+def test_topk_by_label_count_matches_reference_semantics():
+    logits = jnp.asarray([[0.9, 0.1, 0.8, 0.2], [0.1, 0.2, 0.3, 0.4]])
+    labels = jnp.asarray([[1., 0., 1., 0.], [0., 0., 0., 1.]])
+    pred = steplib.topk_by_label_count(logits, labels)
+    np.testing.assert_array_equal(np.asarray(pred),
+                                  [[1., 0., 1., 0.], [0., 0., 0., 1.]])
+    f1 = float(steplib.f1_micro(pred, labels))
+    assert f1 == pytest.approx(1.0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = vit.init(TINY, jax.random.key(0))
+    tx, _ = statelib.make_optimizer(configs.OptimConfig(),
+                                    global_batch_size=8, steps_per_epoch=1)
+    st = statelib.create_train_state(params, tx)
+    x, y = _tiny_batch(b=4)
+    st, _ = steplib.train_step(st, x, y, jax.random.key(1), TINY, tx)
+    ckptlib.save(str(tmp_path), "ep0", st)
+    restored = ckptlib.restore(str(tmp_path), "ep0", st)
+    assert int(restored.step) == int(st.step)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), st.params, restored.params)
+    assert ckptlib.latest_tag(str(tmp_path)) == "ep0"
+
+
+def test_fused_rollout_matches_posthoc_chain():
+    """The in-scan rollout carry == the reference's post-hoc recursive matmul
+    (predict.py:222-226) == the O(N^2) reverse-scan cls row."""
+    cfg = TINY.replace(dtype=jnp.float64, param_dtype=jnp.float64)
+    params = vit.init(cfg, jax.random.key(0))
+    x, _ = _tiny_batch(b=3, seed=5)
+    out = vit.apply(params, x.astype(jnp.float64), cfg, need_headmean=True,
+                    need_rollout=True)
+    joint = rollout.rollout_joint(out.attn_headmean)
+    np.testing.assert_allclose(np.asarray(out.rollout_row),
+                               np.asarray(joint[-1][:, 0, :]), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(rollout.rollout_cls_row(out.attn_headmean)),
+        np.asarray(out.rollout_row), atol=1e-12)
+
+
+def test_dryrun_multichip_entrypoints():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    jax.eval_shape(fn, *args)  # traces without running the full model
+    g.dryrun_multichip(8)

@@ -63,6 +63,7 @@ class ViTCAMOutput(NamedTuple):
     attn_headmean: Optional[jax.Array] = None
     attn_perhead: Optional[jax.Array] = None
     block_outputs: Optional[jax.Array] = None
+    rollout_row: Optional[jax.Array] = None
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +242,7 @@ def _mask_from_cls_row(cls_row, cfg: ViTCAMConfig):
 
 def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                      need_headmean=False, need_blocks=False,
-                     need_perhead=False):
+                     need_perhead=False, need_rollout=False):
     """vit_model.py:303-408 as a scan.  x: [B, H, W, C]."""
     b = x.shape[0]
     tokens = patch_embed(params["patch_embed"], x.astype(cfg.dtype), cfg)
@@ -260,7 +261,7 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         tokens = _dropout(jax.random.fold_in(rng, 0xD0), cfg.drop_ratio, tokens)
 
     n = cfg.seq_len
-    dpr = jnp.linspace(0.0, cfg.drop_path_ratio, cfg.depth)
+    dpr = jnp.linspace(0.0, cfg.drop_path_ratio, cfg.depth).astype(cfg.dtype)
     layer_idx = jnp.arange(cfg.depth)
     bg0 = jnp.zeros((b, n), cfg.dtype)
 
@@ -271,10 +272,16 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         attn_impl = attention_pallas
 
     need_probs = "perhead" if need_perhead else (
-        "headmean" if need_headmean else None)
+        "headmean" if (need_headmean or need_rollout) else None)
+
+    # Rollout product carried through the forward scan (the reference's
+    # post-hoc recursive matmul chain, predict.py:222-226, fused here):
+    # J_l = aug(A_l) @ J_{l-1}, J_0 = I; the CAM is row 0 of J_depth.
+    joint0 = jnp.broadcast_to(jnp.eye(n, dtype=cfg.dtype), (b, n, n)) \
+        if need_rollout else jnp.zeros((), cfg.dtype)
 
     def body(carry, xs):
-        tok, bg = carry
+        tok, bg, joint = carry
         lp, i, dp = xs
         if use_rng:
             lrng = jax.random.fold_in(rng, i + 1)
@@ -307,14 +314,20 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         _, new_bg = _mask_from_cls_row(cls_row, cfg)
         bg = jnp.where(i >= cfg.mask_from, new_bg, bg)
 
+        if need_rollout:
+            aug = hm + jnp.eye(n, dtype=hm.dtype)
+            aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
+            joint = jnp.einsum("bij,bjk->bik", aug, joint,
+                               preferred_element_type=cfg.dtype)
+
         outs = (cls_row,
                 hm if need_headmean or need_perhead else jnp.zeros((), cfg.dtype),
                 ph if need_perhead else jnp.zeros((), cfg.dtype),
                 tok if need_blocks else jnp.zeros((), cfg.dtype))
-        return (tok, bg), outs
+        return (tok, bg, joint), outs
 
-    (tokens, _), (cls_rows, hms, phs, blocks_out) = jax.lax.scan(
-        body, (tokens, bg0), (params["blocks"], layer_idx, dpr))
+    (tokens, _, joint), (cls_rows, hms, phs, blocks_out) = jax.lax.scan(
+        body, (tokens, bg0, joint0), (params["blocks"], layer_idx, dpr))
 
     # --- top-K high-weight patch head (vit_model.py:363-394) ---
     mask14, _ = _mask_from_cls_row(cls_rows[-1], cfg)
@@ -337,6 +350,7 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                             + params["pre_logits"]["bias"])
 
     aux = dict(
+        rollout_row=joint[:, 0, :] if need_rollout else None,
         attn_cls_rows=cls_rows,
         attn_headmean=hms if (need_headmean or need_perhead) else None,
         attn_perhead=phs if need_perhead else None,
@@ -350,16 +364,17 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
     return cls_feat, aux
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "cfg", "train", "need_headmean", "need_blocks", "need_perhead"))
-def apply(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
-          need_headmean=False, need_blocks=False, need_perhead=False
-          ) -> ViTCAMOutput:
+def forward(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
+            need_headmean=False, need_blocks=False, need_perhead=False,
+            need_rollout=False) -> ViTCAMOutput:
     """Full forward (vit_model.py:411-424): features -> cls head, returning the
-    structured equivalent of the reference 6-tuple."""
+    structured equivalent of the reference 6-tuple.  Unjitted — differentiable
+    and composable inside a larger jitted train step; `apply` below is the
+    jitted inference entry point."""
     cls_feat, aux = forward_features(
         params, x, cfg, train=train, rng=rng, need_headmean=need_headmean,
-        need_blocks=need_blocks, need_perhead=need_perhead)
+        need_blocks=need_blocks, need_perhead=need_perhead,
+        need_rollout=need_rollout)
     logits = jnp.dot(cls_feat, params["head"]["kernel"],
                      preferred_element_type=cfg.dtype) + params["head"]["bias"]
     if cfg.distilled:
@@ -377,4 +392,10 @@ def apply(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         attn_headmean=aux["attn_headmean"],
         attn_perhead=aux["attn_perhead"],
         block_outputs=aux["block_outputs"],
+        rollout_row=aux["rollout_row"],
     )
+
+
+apply = functools.partial(jax.jit, static_argnames=(
+    "cfg", "train", "need_headmean", "need_blocks", "need_perhead",
+    "need_rollout"))(forward)

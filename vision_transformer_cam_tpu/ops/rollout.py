@@ -79,6 +79,13 @@ def rollout_cam(headmean_stack, grid_size):
     return mask / jnp.max(mask, axis=(1, 2), keepdims=True)
 
 
+def cam_from_rollout_row(rollout_row, grid_size):
+    """Final joint cls->patch row (the model's fused in-scan rollout carry) to
+    a max-normalized CAM grid (predict.py:229-247).  [B, N] -> [B, g, g]."""
+    m = rollout_row[:, 1:].reshape(rollout_row.shape[0], grid_size, grid_size)
+    return m / jnp.max(m, axis=(1, 2), keepdims=True)
+
+
 def per_block_cams(cls_rows, grid_size):
     """predict.py:261-274: per-block aug cls rows, max-normalized per block.
     cls_rows: [L, B, N] -> [L, B, g, g]."""

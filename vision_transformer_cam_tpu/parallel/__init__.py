@@ -1,0 +1,9 @@
+"""SPMD parallelism: mesh construction, sharding layouts, multi-host init.
+
+Replaces the reference's NCCL/DDP communication layer
+(distributed_utils.py, train_and_validate.py:36,142-146).
+"""
+
+from vision_transformer_cam_tpu.parallel.mesh import (  # noqa: F401
+    data_sharding, distributed_init, make_mesh, param_pspecs, param_shardings,
+    process_local_slice, replicated, shard_batch, shard_params)

@@ -1,0 +1,155 @@
+"""Epoch-level training/eval orchestration — the SPMD rebuild of
+train_and_validate.py:34-195 and utils.py:144-245.
+
+Differences by design (documented divergences from reference bugs):
+  * every replica is synchronized (GSPMD), vs the reference wrapping DDP only
+    on rank 0 (train_and_validate.py:142-146);
+  * logging/checkpointing happens on process 0, vs the reference's split
+    rank-0-prints / rank-1-files (:47-49,170-191);
+  * the F1 accumulator averages over steps, vs utils.py:176-177 which
+    overwrites and reports only the last sample's value;
+  * eval runs batched, vs the reference's hard-coded batch_size=1 loop
+    (train_and_validate.py:101).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vision_transformer_cam_tpu import configs
+from vision_transformer_cam_tpu.data.loader import BatchLoader, device_prefetch
+from vision_transformer_cam_tpu.data.voc12 import VOC12Dataset
+from vision_transformer_cam_tpu.models import vit
+from vision_transformer_cam_tpu.parallel import mesh as meshlib
+from vision_transformer_cam_tpu.train import checkpoint as ckptlib
+from vision_transformer_cam_tpu.train.state import (TrainState,
+                                                    create_train_state,
+                                                    make_optimizer,
+                                                    trainable_mask)
+from vision_transformer_cam_tpu.train.step import eval_step, train_step
+from vision_transformer_cam_tpu.utils.metrics import compute_mAP
+
+
+def _log_line(path: Optional[str], text: str):
+    print(text, flush=True)
+    if path:
+        with open(path, "a") as f:
+            f.write(text + "\n")
+
+
+def train_one_epoch(state, loader, rng, cfg, tx, mesh, epoch, log_every=50):
+    """utils.py:144-203 as a sharded-step loop.  Returns (state, means)."""
+    sums, steps = {}, 0
+    sharding = meshlib.data_sharding(mesh)
+    t0 = time.time()
+    for batch in device_prefetch(loader, sharding):
+        state, metrics = train_step(state, batch["image"], batch["label"],
+                                    rng, cfg, tx)
+        steps += 1
+        host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        if not np.isfinite(host["loss"]):
+            # utils.py:196-198: non-finite loss aborts training.
+            print(f"WARNING: non-finite loss {host['loss']}, ending training",
+                  file=sys.stderr)
+            sys.exit(1)
+        for k, v in host.items():
+            sums[k] = sums.get(k, 0.0) + v
+        if log_every and steps % log_every == 0:
+            print(f"[epoch {epoch}] step {steps}/{len(loader)} "
+                  f"loss {host['loss']:.4f} f1 {host['f1']:.4f} "
+                  f"({(time.time()-t0)/steps:.3f}s/step)", flush=True)
+    means = {k: v / max(steps, 1) for k, v in sums.items()}
+    return state, means
+
+
+def evaluate(params, loader, cfg, mesh):
+    """utils.py:206-245: dual-head mAP over the val split, batched."""
+    sharding = meshlib.data_sharding(mesh)
+    labels, p_cls, p_h1 = [], [], []
+    for batch in device_prefetch(loader, sharding):
+        out = jax.device_get(eval_step(params, batch["image"], cfg))
+        labels.append(batch["label"])
+        p_cls.append(out["probs_cls"])
+        p_h1.append(out["probs_head1"])
+    y = np.concatenate(labels)
+    return {"mAP_196patch": float(np.mean(compute_mAP(y, np.concatenate(p_cls)))),
+            "mAP_16patch": float(np.mean(compute_mAP(y, np.concatenate(p_h1))))}
+
+
+def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
+        train_data: configs.DataConfig, val_data: configs.DataConfig,
+        *, init_params=None, epochs: Optional[int] = None,
+        log_dir: str = ".", resume: bool = False):
+    """Full fine-tune entry (train_and_validate.py:34-195)."""
+    meshlib.distributed_init()
+    mesh = meshlib.make_mesh(train_cfg.mesh_shape, train_cfg.mesh_axes)
+    is_main = jax.process_index() == 0
+
+    train_ds = VOC12Dataset(train_data.img_name_list_path,
+                            train_data.voc12_root,
+                            cls_labels_path=train_data.cls_labels_path or None,
+                            img_size=train_data.img_size,
+                            mean=train_data.mean, std=train_data.std)
+    val_ds = VOC12Dataset(val_data.img_name_list_path, val_data.voc12_root,
+                          cls_labels_path=val_data.cls_labels_path or None,
+                          img_size=val_data.img_size,
+                          mean=val_data.mean, std=val_data.std)
+    loader = BatchLoader(train_ds, train_cfg.batch_size // jax.process_count(),
+                         shuffle=True, seed=train_cfg.seed,
+                         num_threads=train_data.num_threads,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
+    val_loader = BatchLoader(val_ds, train_cfg.batch_size, shuffle=False,
+                             drop_last=False,
+                             num_threads=val_data.num_threads)
+
+    rng = jax.random.key(train_cfg.seed)
+    if init_params is None:
+        init_params = vit.init(model_cfg, rng)
+    mask = trainable_mask(init_params, train_cfg.freeze_backbone)
+    tx, schedule = make_optimizer(
+        train_cfg.optim, train_cfg.batch_size, max(len(loader), 1),
+        freeze_mask=mask if train_cfg.freeze_backbone else None)
+    params = meshlib.shard_params(mesh, init_params)
+    state = create_train_state(params, tx)
+    if resume:
+        tag = ckptlib.latest_tag(train_cfg.ckpt_dir)
+        if tag:
+            state = ckptlib.restore(train_cfg.ckpt_dir, tag, state)
+            state = TrainState(step=state.step,
+                               params=meshlib.shard_params(mesh, state.params),
+                               opt_state=state.opt_state)
+            print(f"resumed from {tag} at step {int(state.step)}")
+
+    n_epochs = epochs if epochs is not None else train_cfg.optim.epochs
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    log_path = os.path.join(log_dir, f"train_log_{stamp}.txt") \
+        if is_main else None
+    best_loss = float("inf")
+    with mesh:
+        for epoch in range(n_epochs):
+            loader.set_epoch(epoch)
+            state, tm = train_one_epoch(state, loader, rng, model_cfg, tx,
+                                        mesh, epoch, train_cfg.log_every)
+            em = evaluate(state.params, val_loader, model_cfg, mesh)
+            lr = float(schedule(state.step))
+            _log_line(log_path,
+                      f"[epoch {epoch}] loss {tm.get('loss', 0):.6f} "
+                      f"f1 {tm.get('f1', 0):.4f} "
+                      f"mAP_196 {em['mAP_196patch']:.4f} "
+                      f"mAP_16 {em['mAP_16patch']:.4f} lr {lr:.2e}")
+            if is_main and tm.get("loss", float("inf")) < best_loss:
+                best_loss = tm["loss"]
+                ckptlib.save(train_cfg.ckpt_dir,
+                             f"{stamp}-cur_ep{epoch}-bestloss", state)
+        if is_main:
+            ckptlib.save(train_cfg.ckpt_dir,
+                         f"{stamp}-cur_ep{n_epochs - 1}-final", state)
+    return state
