@@ -70,6 +70,73 @@ def torch_state_dict_numpy(model):
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 
 
+def run_reference_pseudo_seg(head1_logits, head1_weight, top_embeds,
+                             last_block_tokens, attn_weights, size,
+                             cls_threshold=0.9, fg_cos=0.5, bg_thr=0.05):
+    """Torch transliteration of validate.py:132-257 for ONE image, used only
+    as a test oracle for our batched pipeline.
+
+    head1_logits [C]; head1_weight [C,D]; top_embeds [K,D];
+    last_block_tokens [N,D] (attn_matrix[11] row); attn_weights [L,H,N,N];
+    size = (h, w) of the original image.
+    Returns the uint8 pseudo-seg map [h, w].
+    """
+    import torch
+    h, w = size
+    head1_logits = torch.from_numpy(np.asarray(head1_logits))
+    head1_weight = torch.from_numpy(np.asarray(head1_weight)).clone()
+    top_embeds = torch.from_numpy(np.asarray(top_embeds))
+    tokens = torch.from_numpy(np.asarray(last_block_tokens))
+    attn = torch.from_numpy(np.asarray(attn_weights))
+    k, d = top_embeds.shape
+    c = head1_logits.shape[0]
+
+    predcls = torch.sigmoid(head1_logits)
+    predcls = (predcls >= cls_threshold).to(head1_weight.dtype)
+    clsh1 = head1_weight.clone()
+    for kk in range(c):
+        if predcls[kk] == 0:
+            clsh1[kk] = torch.full((d,), -10, dtype=clsh1.dtype)
+    cls_to_feat = torch.argmax(clsh1, dim=0)                  # [D]
+    filler = torch.arange(21, 21 + d * k, 1).reshape(d, k)
+    contrib = torch.argmax(top_embeds, dim=0)                 # [D]
+    for m in range(d):
+        filler[m][contrib[m]] = cls_to_feat[m]
+    patch_to_cls, _ = torch.mode(filler, dim=0)               # [K]
+
+    pe = torch.nn.functional.normalize(tokens[1:, :], dim=1)  # [P, D]
+    he = torch.nn.functional.normalize(top_embeds, dim=1)     # [K, D]
+    g = int(round((tokens.shape[0] - 1) ** 0.5))
+    maps = []
+    for i in range(k):
+        cos = (he[i].unsqueeze(0) @ pe.t()).reshape(g, g)
+        up = torch.nn.functional.interpolate(
+            cos[None, None], size=(h, w), mode="bilinear",
+            align_corners=False)[0, 0]
+        maps.append(up)
+    stack = torch.stack(maps)
+    final_seg = stack.argmax(dim=0)
+    final_v, _ = stack.max(dim=0)
+    final_v = (final_v >= fg_cos).to(stack.dtype)
+
+    final_seg = final_seg + 50
+    for i in range(k):
+        final_seg[final_seg == 50 + i] = patch_to_cls[i] + 1
+
+    att = attn[5:].mean(dim=0).mean(dim=0)                    # [N, N]
+    aug = att + torch.eye(att.shape[0], dtype=att.dtype)
+    aug = aug / aug.sum(dim=-1, keepdim=True)
+    row = aug[0, 1:]
+    row = row / row.max()
+    bg = torch.nn.functional.interpolate(
+        row.reshape(g, g)[None, None], size=(h, w), mode="bilinear",
+        align_corners=False)[0, 0]
+    bg = (bg >= bg_thr).to(stack.dtype)
+
+    res = final_seg.to(stack.dtype) * final_v * bg
+    return res.to(torch.uint8).numpy()
+
+
 def run_reference(model, images_nchw: np.ndarray):
     """Forward the reference model; returns the 6-tuple as numpy
     (vit_model.py:424)."""

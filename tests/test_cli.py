@@ -1,0 +1,139 @@
+"""End-to-end CLI smoke tests on a synthetic VOC tree with a tiny model."""
+
+import os
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+import PIL.Image  # noqa: E402
+
+from vision_transformer_cam_tpu import configs  # noqa: E402
+from vision_transformer_cam_tpu.data import palette as pallib  # noqa: E402
+
+NAMES = ["2007_000032", "2007_000123", "2008_000006", "2008_000045"]
+
+
+def _tiny_factory(num_classes=20, has_logits=False):
+    return configs.ViTCAMConfig(img_size=32, patch_size=8, embed_dim=64,
+                                depth=6, num_heads=4,
+                                num_classes=num_classes, mask_from=2,
+                                top_k_patches=4)
+
+
+@pytest.fixture()
+def tiny_zoo(monkeypatch):
+    monkeypatch.setitem(configs.MODEL_ZOO, "tiny", _tiny_factory)
+    return "tiny"
+
+
+@pytest.fixture()
+def voc_tree(tmp_path):
+    rng = np.random.default_rng(0)
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "SegmentationClass").mkdir()
+    (tmp_path / "Annotations").mkdir()
+    cats = ["dog", "cat", "person", "car"]
+    for i, n in enumerate(NAMES):
+        arr = rng.integers(0, 256, size=(40 + 3 * i, 52 - 2 * i, 3),
+                           dtype=np.uint8)
+        PIL.Image.fromarray(arr).save(tmp_path / "JPEGImages" / f"{n}.jpg")
+        seg = rng.integers(0, 21, size=arr.shape[:2]).astype(np.uint8)
+        pallib.save_indexed_png(
+            str(tmp_path / "SegmentationClass" / f"{n}.png"), seg)
+        (tmp_path / "Annotations" / f"{n}.xml").write_text(
+            "<annotation>" + "".join(
+                f"<object><name>{c}</name></object>"
+                for c in (cats[i], cats[(i + 1) % 4])) + "</annotation>")
+    split = "\n".join(f"/JPEGImages/{n}.jpg /SegmentationClass/{n}.png"
+                      for n in NAMES)
+    (tmp_path / "split.txt").write_text(split + "\n")
+    return tmp_path
+
+
+def test_tools_cli(voc_tree, tmp_path, capsys):
+    from vision_transformer_cam_tpu.cli import tools
+    out_npy = str(tmp_path / "cls_labels.npy")
+    tools.main(["make_cls_labels", "--train_list",
+                str(voc_tree / "split.txt"), "--val_list",
+                str(voc_tree / "split.txt"), "--voc12_root", str(voc_tree),
+                "--out", out_npy])
+    d = np.load(out_npy, allow_pickle=True).item()
+    assert set(d) == set(NAMES) and d[NAMES[0]].shape == (20,)
+
+    out_json = str(tmp_path / "palette.json")
+    tools.main(["get_palette", "--out", out_json])
+    assert pallib.load_palette_json(out_json) == pallib.voc_palette_flat()
+
+    tools.main(["flops"])
+    cap = capsys.readouterr().out
+    assert "Multi(8-head)" in cap and "GFLOPs" in cap
+
+
+def test_flops_analytic_value():
+    from vision_transformer_cam_tpu.cli.tools import attention_flops
+    r = attention_flops(dim=512, num_heads=8, seq_len=1024, batch=32)
+    # qkv: 2*32*1024*512*1536; logits/pv: 2*32*8*1024*1024*64; proj: .../512
+    assert r["qkv"] == 2 * 32 * 1024 * 512 * 3 * 512
+    assert r["qk^T"] == r["pv"] == 2 * 32 * 8 * 1024 * 1024 * 64
+    assert r["total_flops"] == r["qkv"] + r["qk^T"] + r["pv"] + r["proj"]
+
+
+def test_validate_cli(voc_tree, tmp_path, tiny_zoo, monkeypatch):
+    from vision_transformer_cam_tpu.cli import validate as vcli
+    monkeypatch.chdir(tmp_path)
+    seg_dir = str(tmp_path / "seg_pred")
+    res = vcli.main(["--model_name", tiny_zoo,
+                     "--dataset_path", str(voc_tree),
+                     "--val_img_name_path", str(voc_tree / "split.txt"),
+                     "--batch_size", "2",
+                     "--seg_pred_dir", seg_dir])
+    for n in NAMES:
+        png = os.path.join(seg_dir, f"{n}.png")
+        assert os.path.exists(png)
+        im = PIL.Image.open(png)
+        assert im.getpalette()[:6] == [0, 0, 0, 128, 0, 0]  # VOC palette
+    assert np.isfinite(res["mIoU"]) and np.isfinite(res["global_acc"])
+
+
+def test_predict_cli(voc_tree, tmp_path, tiny_zoo, monkeypatch, capsys):
+    from vision_transformer_cam_tpu.cli import predict as pcli
+    monkeypatch.chdir(tmp_path)
+    arts = pcli.main(["--model_name", tiny_zoo,
+                      "--img_name", NAMES[0],
+                      "--dataset_path", str(voc_tree),
+                      "--out", str(tmp_path / "predict_cam")])
+    assert arts["rollout_cam"].shape == (4, 4)
+    assert arts["per_block_cams"].shape == (6, 4, 4)
+    assert arts["token_sim"].shape[0] == 6
+    cap = capsys.readouterr().out
+    assert "GT labels:" in cap and "dog" in cap and "cat" in cap \
+        and "pred:" in cap
+    assert os.path.exists(tmp_path / "predict_cam" /
+                          f"{NAMES[0]}_cam_grid.jpg")
+
+
+def test_train_cli_one_epoch(voc_tree, tmp_path, tiny_zoo, monkeypatch):
+    from vision_transformer_cam_tpu.cli import tools, train as tcli
+    monkeypatch.chdir(tmp_path)
+    out_npy = str(voc_tree / "cls_labels.npy")
+    tools.main(["make_cls_labels", "--train_list",
+                str(voc_tree / "split.txt"), "--val_list",
+                str(voc_tree / "split.txt"), "--voc12_root", str(voc_tree),
+                "--out", out_npy])
+    state = tcli.main(["--model_name", tiny_zoo,
+                       "--dataset_path", str(voc_tree),
+                       "--train_img_name_path", str(voc_tree / "split.txt"),
+                       "--val_img_name_path", str(voc_tree / "split.txt"),
+                       "--cls_labels_path", out_npy,
+                       "--batch_size", "2", "--epochs", "2",
+                       "--mesh_shape", "2",
+                       "--ckpt_dir", str(tmp_path / "weights"),
+                       "--log_dir", str(tmp_path)])
+    assert int(state.step) == 4  # 2 epochs x 2 steps (4 imgs / bs 2)
+    ckpts = os.listdir(tmp_path / "weights")
+    assert any("final" in c for c in ckpts)
+    assert any("bestloss" in c for c in ckpts)
+    logs = [f for f in os.listdir(tmp_path) if f.startswith("train_log_")]
+    assert logs

@@ -1,0 +1,107 @@
+"""Pseudo-segmentation pipeline golden tests vs a torch transliteration of
+validate.py:132-257, plus unit checks of the parts."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from vision_transformer_cam_tpu import configs  # noqa: E402
+from vision_transformer_cam_tpu.cam import pseudo_seg as ps  # noqa: E402
+from vision_transformer_cam_tpu.io import weights as wio  # noqa: E402
+from vision_transformer_cam_tpu.models import vit  # noqa: E402
+
+import oracle  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def model_io():
+    model = oracle.make_reference_model(num_classes=20, has_logits=False,
+                                        double=True, seed=0)
+    sd = oracle.torch_state_dict_numpy(model)
+    rng = np.random.default_rng(11)
+    imgs = rng.standard_normal((2, 3, 224, 224)).astype(np.float64)
+    ref = oracle.run_reference(model, imgs)
+
+    cfg = configs.vit_base_patch16_224_in21k(num_classes=20, has_logits=False)
+    cfg = cfg.replace(dtype=jnp.float64, param_dtype=jnp.float64)
+    params = wio.pytree_from_state_dict(sd, cfg)
+    out = vit.apply(params, jnp.asarray(imgs.transpose(0, 2, 3, 1)), cfg)
+    return ref, out, cfg
+
+
+def test_pseudo_seg_matches_reference(model_io):
+    ref, out, cfg = model_io
+    pcfg = configs.PseudoSegConfig()
+    sizes = [(37, 45), (64, 48)]  # odd original sizes, per image
+    ours = ps.pseudo_seg_batch(out, cfg, pcfg, sizes)
+    for i, size in enumerate(sizes):
+        want = oracle.run_reference_pseudo_seg(
+            ref["head1_logits"][i], ref["head1_weight"],
+            ref["top_patch_embeds"][i], ref["attn_matrix"][11][i],
+            ref["attn_weights"][:, i], size,
+            cls_threshold=pcfg.cls_threshold, fg_cos=pcfg.fg_cos_threshold,
+            bg_thr=pcfg.bg_rollout_threshold)
+        assert ours[i].shape == size
+        assert ours[i].dtype == np.uint8
+        np.testing.assert_array_equal(ours[i], want)
+
+
+def test_pseudo_seg_low_threshold_exercises_fg(model_io):
+    """With random weights cos-sims rarely exceed 0.5; force fg/bg through
+    with loose thresholds so the class-mapping path is actually exercised."""
+    ref, out, cfg = model_io
+    pcfg = configs.PseudoSegConfig(cls_threshold=0.4, fg_cos_threshold=-1.0,
+                                   bg_rollout_threshold=0.0)
+    sizes = [(30, 41), (28, 28)]
+    ours = ps.pseudo_seg_batch(out, cfg, pcfg, sizes)
+    for i, size in enumerate(sizes):
+        want = oracle.run_reference_pseudo_seg(
+            ref["head1_logits"][i], ref["head1_weight"],
+            ref["top_patch_embeds"][i], ref["attn_matrix"][11][i],
+            ref["attn_weights"][:, i], size,
+            cls_threshold=pcfg.cls_threshold, fg_cos=pcfg.fg_cos_threshold,
+            bg_thr=pcfg.bg_rollout_threshold)
+        np.testing.assert_array_equal(ours[i], want)
+        assert ours[i].max() >= 1  # some foreground got through
+
+
+def test_np_bilinear_matches_torch():
+    import torch
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, 14, 14))
+    want = torch.nn.functional.interpolate(
+        torch.from_numpy(x)[None], size=(50, 37), mode="bilinear",
+        align_corners=False)[0].numpy()
+    got = ps.np_bilinear_resize(x, (50, 37))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_patch_class_assignment_mode_semantics():
+    """Hand case: tie-break = smallest class; empty patch = filler 21+p."""
+    probs = jnp.asarray([[0.95, 0.95, 0.0, 0.0]])          # classes 0,1 on
+    kernel_t = jnp.asarray([[  # [C=4, D=6]
+        [3., 0., 3., 0., 0., 0.],
+        [0., 3., 0., 3., 0., 0.],
+        [9., 9., 9., 9., 9., 9.],   # gated off (prob 0) -> -10
+        [9., 9., 9., 9., 9., 9.],
+    ]])[0]
+    # features 0,2 -> class 0; 1,3 -> class 1; 4,5 -> all -10 -> argmax=0
+    top = jnp.asarray([[  # [K=3, D=6] contributions
+        [9., 9., 0., 0., 9., 0.],   # features 0,1,4 -> patch 0
+        [0., 0., 9., 9., 0., 0.],   # features 2,3 -> patch 1
+        [0., 0., 0., 0., 0., 9.],   # feature 5 -> patch 2
+    ]])
+    got = np.asarray(ps._patch_class_assignment(probs, kernel_t, top, 0.9))
+    # patch 0: classes {0:2, 1:1} -> 0 (features 0(cls0),1(cls1),4(cls0))
+    # patch 1: classes {0:1, 1:1} tie -> smallest = 0... feature2=cls0,3=cls1
+    # patch 2: feature 5 -> cls 0 (all gated -10, argmax first = 0)
+    np.testing.assert_array_equal(got[0], [0, 0, 0])
+    # empty patch: no features anywhere -> filler
+    top_empty = top.at[:, :, 2].set(0.0)  # nothing "wins" patch 2... still
+    # argmax assigns every feature somewhere; force all features to patch 0
+    top_all0 = jnp.zeros_like(top).at[:, 0, :].set(1.0)
+    got2 = np.asarray(ps._patch_class_assignment(probs, kernel_t, top_all0,
+                                                 0.9))
+    np.testing.assert_array_equal(got2[0], [0, 21 + 1, 21 + 2])

@@ -1,0 +1,90 @@
+"""Offline tools: the leaf scripts of the reference as subcommands.
+
+  make_cls_labels  — voc12/make_cls_labels.py:1-22: build cls_labels.npy
+                     from the train(+val) split XML annotations.
+  get_palette      — get_palette.py:1-18: dump a palette.json, either
+                     extracted from a VOC SegmentationClass PNG or from the
+                     built-in bit-identical VOC colormap.
+  flops            — flops.py:1-27: analytic FLOP count of single- vs
+                     multi-head attention (dim 512, 1024 tokens, batch 32 by
+                     default), computed from first principles instead of
+                     fvcore tracing.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def cmd_make_cls_labels(args):
+    from vision_transformer_cam_tpu.data.voc12 import make_cls_labels
+    d = make_cls_labels(args.train_list, args.val_list, args.voc12_root,
+                        args.out)
+    print(f"wrote {args.out} with {len(d)} entries")
+
+
+def cmd_get_palette(args):
+    from vision_transformer_cam_tpu.data.palette import (palette_from_png,
+                                                         save_palette_json)
+    pal = palette_from_png(args.png) if args.png else None
+    save_palette_json(args.out, pal)
+    print(f"wrote {args.out}")
+
+
+def attention_flops(dim: int, num_heads: int, seq_len: int,
+                    batch: int) -> dict:
+    """Analytic FLOPs of the reference Attention module (vit_model.py:86-140)
+    for one forward: qkv GEMM, QK^T, PV, proj GEMM.  Counts MACs*2.
+    fvcore (flops.py:18-22) reports MACs — both are printed."""
+    n, d = seq_len, dim
+    qkv = 2 * batch * n * d * 3 * d
+    logits = 2 * batch * num_heads * n * n * (d // num_heads)
+    pv = 2 * batch * num_heads * n * n * (d // num_heads)
+    proj = 2 * batch * n * d * d
+    total = qkv + logits + pv + proj
+    return {"qkv": qkv, "qk^T": logits, "pv": pv, "proj": proj,
+            "total_flops": total, "total_macs_fvcore_style": total // 2}
+
+
+def cmd_flops(args):
+    for heads in (1, args.num_heads):
+        r = attention_flops(args.dim, heads, args.seq_len, args.batch)
+        kind = "Self(1-head)" if heads == 1 else f"Multi({heads}-head)"
+        print(f"{kind} Attention dim={args.dim} tokens={args.seq_len} "
+              f"bs={args.batch}: {r['total_flops']/1e9:.3f} GFLOPs "
+              f"({r['total_macs_fvcore_style']/1e9:.3f} GMACs)")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("make_cls_labels")
+    m.add_argument("--train_list", required=True)
+    m.add_argument("--val_list", required=True)
+    m.add_argument("--voc12_root", required=True)
+    m.add_argument("--out", default="cls_labels.npy")
+    m.set_defaults(fn=cmd_make_cls_labels)
+
+    g = sub.add_parser("get_palette")
+    g.add_argument("--png", default="",
+                   help="VOC SegmentationClass PNG; empty = built-in map")
+    g.add_argument("--out", default="palette.json")
+    g.set_defaults(fn=cmd_get_palette)
+
+    f = sub.add_parser("flops")
+    f.add_argument("--dim", type=int, default=512)
+    f.add_argument("--num_heads", type=int, default=8)
+    f.add_argument("--seq_len", type=int, default=1024)
+    f.add_argument("--batch", type=int, default=32)
+    f.set_defaults(fn=cmd_flops)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

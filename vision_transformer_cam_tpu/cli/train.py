@@ -1,0 +1,112 @@
+"""Distributed fine-tune entry (train_and_validate.py:34-273).
+
+Same hyperparameter surface as the reference argparse (timm-style names,
+train_and_validate.py:198-269), driving the SPMD train loop in
+train/loop.py.  `--freeze_layers` and lr scaling lr*bs/512 behave as the
+reference's; `--syncBN` is accepted and ignored (the model has no BN —
+SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from vision_transformer_cam_tpu import configs
+from vision_transformer_cam_tpu.io import weights as wio
+from vision_transformer_cam_tpu.models import vit
+from vision_transformer_cam_tpu.train import loop as looplib
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_name", type=str,
+                   default="vit_base_patch16_224_in21k",
+                   choices=sorted(configs.MODEL_ZOO))
+    p.add_argument("--num_classes", type=int, default=20)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--opt", type=str, default="adamw")
+    p.add_argument("--opt_eps", type=float, default=1e-8)
+    p.add_argument("--weight_decay", type=float, default=5e-2)
+    p.add_argument("--sched", type=str, default="cosine")
+    p.add_argument("--warmup_epochs", type=int, default=5)
+    p.add_argument("--warmup_lr", type=float, default=1e-6)
+    p.add_argument("--min_lr", type=float, default=1e-5)
+    p.add_argument("--decay_epochs", type=float, default=30)
+    p.add_argument("--decay_rate", type=float, default=0.1)
+    p.add_argument("--cooldown_epochs", type=int, default=10)
+    p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--weights", type=str, default="",
+                   help="pretrained .pth/.npz; head keys dropped on load")
+    p.add_argument("--freeze_layers", action="store_true")
+    p.add_argument("--syncBN", action="store_true",
+                   help="accepted for parity; no-op (model has no BN)")
+    p.add_argument("--dataset_path", type=str, required=True)
+    p.add_argument("--train_img_name_path", type=str, required=True)
+    p.add_argument("--val_img_name_path", type=str, required=True)
+    p.add_argument("--cls_labels_path", type=str, default="")
+    p.add_argument("--ckpt_dir", type=str, default="./weights")
+    p.add_argument("--log_dir", type=str, default=".")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_shape", type=str, default="-1",
+                   help="comma-separated mesh shape over jax.devices(), "
+                        "e.g. '-1' (all-data-parallel) or '4,2' (dp,tp)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume full train state from latest checkpoint "
+                        "(capability the reference lacks)")
+    p.add_argument("--device", type=str, default="", help="ignored (SPMD)")
+    p.add_argument("--local_rank", type=int, default=0,
+                   help="accepted for parity; jax discovers processes itself")
+    return p
+
+
+def main(argv=None):
+    from vision_transformer_cam_tpu.utils import honor_jax_platforms_env
+    honor_jax_platforms_env()
+    args = build_parser().parse_args(argv)
+    model_cfg = configs.MODEL_ZOO[args.model_name](
+        num_classes=args.num_classes)
+    if getattr(model_cfg, "has_logits", False):
+        model_cfg = model_cfg.replace(representation_size=None)
+
+    optim = configs.OptimConfig(
+        opt=args.opt, lr=args.lr, opt_eps=args.opt_eps,
+        weight_decay=args.weight_decay, sched=args.sched,
+        epochs=args.epochs, warmup_epochs=args.warmup_epochs,
+        warmup_lr=args.warmup_lr, min_lr=args.min_lr,
+        decay_epochs=args.decay_epochs, decay_rate=args.decay_rate,
+        cooldown_epochs=args.cooldown_epochs, clip_grad=args.clip_grad)
+    mesh_shape = tuple(int(s) for s in args.mesh_shape.split(","))
+    mesh_axes = ("data", "model")[:len(mesh_shape)] if len(mesh_shape) <= 2 \
+        else tuple(f"ax{i}" for i in range(len(mesh_shape)))
+    train_cfg = configs.TrainConfig(
+        optim=optim, batch_size=args.batch_size, seed=args.seed,
+        freeze_backbone=args.freeze_layers, ckpt_dir=args.ckpt_dir,
+        mesh_shape=mesh_shape, mesh_axes=mesh_axes)
+    dc = dict(voc12_root=args.dataset_path,
+              cls_labels_path=args.cls_labels_path,
+              img_size=model_cfg.img_size)
+    train_data = configs.DataConfig(
+        img_name_list_path=args.train_img_name_path, **dc)
+    val_data = configs.DataConfig(
+        img_name_list_path=args.val_img_name_path, **dc)
+
+    init_params = None
+    if args.weights:
+        # pretrained load with head-key surgery (train_and_validate.py:111-119)
+        base = vit.init(model_cfg, jax.random.key(args.seed))
+        init_params = wio.load_npz(args.weights) \
+            if args.weights.endswith(".npz") else wio.load_pth(
+                args.weights, model_cfg, params=base,
+                del_keys=wio.PRETRAIN_DEL_KEYS)
+
+    return looplib.fit(model_cfg, train_cfg, train_data, val_data,
+                       init_params=init_params, epochs=args.epochs,
+                       log_dir=args.log_dir, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

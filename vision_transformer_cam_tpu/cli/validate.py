@@ -1,0 +1,124 @@
+"""Validation + pseudo-segmentation entry (validate.py:57-326).
+
+Same capability surface as the reference CLI, rebuilt batched: multi-label
+mAP from the top-16 patch head, pseudo-seg PNG export with the VOC palette,
+and 21-class mIoU against the SegmentationClass ground truth.  Improvements
+over the reference, by design: batch size is honored (the reference forces
+bs=1, validate.py:97-102), the palette needs no palette.json side file (the
+built-in VOC colormap is bit-identical), and paths have no hard-coded
+defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from vision_transformer_cam_tpu import configs
+from vision_transformer_cam_tpu.cam.pseudo_seg import pseudo_seg_batch
+from vision_transformer_cam_tpu.data.loader import BatchLoader
+from vision_transformer_cam_tpu.data.palette import (load_palette_json,
+                                                     save_indexed_png)
+from vision_transformer_cam_tpu.data.voc12 import VOC12Dataset
+from vision_transformer_cam_tpu.io import weights as wio
+from vision_transformer_cam_tpu.models import vit
+from vision_transformer_cam_tpu.utils.metrics import (ConfusionMatrix,
+                                                      compute_mAP)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference flag surface (validate.py:296-314)
+    p.add_argument("--model_name", type=str, default="vit_base",
+                   help="'vit_base' (reference alias) or a MODEL_ZOO name")
+    p.add_argument("--num_classes", type=int, default=20)
+    p.add_argument("--weights", type=str, default="",
+                   help=".pth or .npz fine-tuned weights; empty = random")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--dataset_path", type=str, required=True,
+                   help="VOC2012 root (contains JPEGImages/)")
+    p.add_argument("--val_img_name_path", type=str, required=True)
+    p.add_argument("--ori_cam_path", type=str, default="")
+    p.add_argument("--device", type=str, default="",
+                   help="ignored (jax uses its default device)")
+    p.add_argument("--cls_labels_path", type=str, default="")
+    p.add_argument("--seg_pred_dir", type=str, default="./validate_seg_pred")
+    p.add_argument("--palette_json", type=str, default="",
+                   help="optional palette.json; default = built-in VOC map")
+    p.add_argument("--limit", type=int, default=0,
+                   help="stop after N images (smoke runs)")
+    return p
+
+
+def val(args) -> dict:
+    os.makedirs(args.seg_pred_dir, exist_ok=True)
+    palette = load_palette_json(args.palette_json) if args.palette_json \
+        else None
+
+    factory = configs.MODEL_ZOO.get(args.model_name,
+                                    configs.vit_base_patch16_224_in21k)
+    cfg = factory(num_classes=args.num_classes)
+    cfg = cfg.replace(representation_size=None)  # has_logits=False
+    pcfg = configs.PseudoSegConfig()
+    if args.weights:
+        # full fine-tuned load, heads kept (validate.py:106-110)
+        params = wio.load_npz(args.weights) if args.weights.endswith(".npz") \
+            else wio.load_pth(args.weights, cfg, del_keys=())
+    else:
+        params = vit.init(cfg, jax.random.key(0))
+
+    ds = VOC12Dataset(args.val_img_name_path, args.dataset_path,
+                      cls_labels_path=args.cls_labels_path or None,
+                      seg_label_flag=True, img_size=cfg.img_size)
+    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+
+    confmat = ConfusionMatrix(args.num_classes)
+    all_ap, n_done, t0 = [], 0, time.time()
+    for batch in loader:
+        out = vit.apply(params, batch["image"], cfg)
+        segs = batch["seg_label"] if isinstance(batch["seg_label"], list) \
+            else list(batch["seg_label"])
+        sizes = [s.shape for s in segs]
+        preds = pseudo_seg_batch(out, cfg, pcfg, sizes)
+        probs = np.asarray(jax.device_get(jax.nn.sigmoid(out.head1_logits)))
+        for i, name in enumerate(batch["name"]):
+            save_indexed_png(os.path.join(args.seg_pred_dir, f"{name}.png"),
+                             preds[i], palette)
+            confmat.update(segs[i].reshape(-1), preds[i].reshape(-1))
+        if "label" in batch:
+            all_ap += compute_mAP(batch["label"], probs)
+        n_done += len(batch["name"])
+        print(f"[val] {n_done}/{len(ds)} mAP {np.mean(all_ap) if all_ap else float('nan'):.4f} "
+              f"({(time.time()-t0)/n_done:.3f}s/img)", flush=True)
+        if args.limit and n_done >= args.limit:
+            break
+
+    acc_global, acc, iou = confmat.compute()
+    results = {
+        "mAP": float(np.mean(all_ap)) if all_ap else float("nan"),
+        "global_acc": float(acc_global),
+        "mIoU": float(np.mean(np.asarray(iou)) * 100),
+    }
+    print(confmat)
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    with open(f"validating_log_{stamp}.txt", "a") as f:
+        f.write(f"[images: {n_done}]\n"
+                f"mAP_multiple_class_label: {results['mAP']:.5f}     \n\n")
+    return results
+
+
+def main(argv=None):
+    from vision_transformer_cam_tpu.utils import honor_jax_platforms_env
+    honor_jax_platforms_env()
+    args = build_parser().parse_args(argv)
+    return val(args)
+
+
+if __name__ == "__main__":
+    main()

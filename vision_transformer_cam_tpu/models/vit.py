@@ -64,6 +64,10 @@ class ViTCAMOutput(NamedTuple):
     attn_perhead: Optional[jax.Array] = None
     block_outputs: Optional[jax.Array] = None
     rollout_row: Optional[jax.Array] = None
+    # final block output BEFORE the last LayerNorm, [B, N, C] — what the
+    # reference's attn_matrix[11] is (vit_model.py:324,402: norm comes after
+    # collection); the pseudo-seg cosine maps read it (validate.py:163).
+    tokens_prenorm: Optional[jax.Array] = None
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +355,7 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
 
     aux = dict(
         rollout_row=joint[:, 0, :] if need_rollout else None,
+        tokens_prenorm=tokens,
         attn_cls_rows=cls_rows,
         attn_headmean=hms if (need_headmean or need_perhead) else None,
         attn_perhead=phs if need_perhead else None,
@@ -393,6 +398,7 @@ def forward(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         attn_perhead=aux["attn_perhead"],
         block_outputs=aux["block_outputs"],
         rollout_row=aux["rollout_row"],
+        tokens_prenorm=aux["tokens_prenorm"],
     )
 
 
