@@ -32,6 +32,8 @@ def main():
 
     cfg = configs.vit_base_patch16_224_in21k(num_classes=20, has_logits=False)
     cfg = cfg.replace(dtype=dtype, param_dtype=dtype)
+    if "--pallas" in sys.argv:
+        cfg = cfg.replace(attn_impl="pallas")
     params = vit.init(cfg, jax.random.key(0))
 
     @jax.jit

@@ -1,0 +1,82 @@
+"""Auxiliary subsystems: profiling utilities, generic dataset, pos-embed
+interpolation on checkpoint load."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from vision_transformer_cam_tpu import configs  # noqa: E402
+from vision_transformer_cam_tpu.io import weights as wio  # noqa: E402
+from vision_transformer_cam_tpu.models import vit  # noqa: E402
+from vision_transformer_cam_tpu.utils import profiling  # noqa: E402
+
+
+def test_model_flops_vitb():
+    cfg = configs.vit_base_patch16_224_in21k(num_classes=20,
+                                             has_logits=False)
+    r = profiling.model_flops(cfg, batch=1, with_cam=False)
+    # ViT-B/16 @224 is ~17.6 GMACs/image (SURVEY.md §6 quotes that figure)
+    assert 16.0 < r["gmacs_per_image"] < 19.0
+    assert r["gflops_per_image"] == pytest.approx(2 * r["gmacs_per_image"])
+    r2 = profiling.model_flops(cfg, batch=4, with_cam=True)
+    assert r2["rollout"] > 0
+    assert r2["total"] > 4 * r["total"]
+
+
+def test_step_timer():
+    t = profiling.StepTimer()
+    x = jnp.ones((128, 128))
+    f = jax.jit(lambda a: a @ a)
+    r = f(x)
+    t.start()
+    dt = t.stop(f(x))
+    assert dt > 0 and t.best > 0
+    assert t.images_per_sec(128) > 0
+
+
+def test_generic_dataset(tmp_path):
+    import PIL.Image
+    from vision_transformer_cam_tpu.data.generic import (PathListDataset,
+                                                         collate_fn)
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (30, 40, 3), dtype=np.uint8)).save(p)
+        paths.append(str(p))
+    ds = PathListDataset(paths, [0, 1, 2], img_size=32)
+    assert len(ds) == 3
+    item = ds[1]
+    assert item["image"].shape == (32, 32, 3)
+    assert item["label"] == 1
+    batch = collate_fn([ds[i] for i in range(3)])
+    assert batch["image"].shape == (3, 32, 32, 3)
+    np.testing.assert_array_equal(batch["label"], [0, 1, 2])
+
+
+def test_pos_embed_interpolation_on_load():
+    """A 224px checkpoint loads into a 384px config: pos_embed grid 14->24
+    interpolated bicubically; forward runs at the new resolution."""
+    cfg224 = configs.ViTCAMConfig(img_size=32, patch_size=8, embed_dim=64,
+                                  depth=2, num_heads=4, num_classes=5,
+                                  mask_from=0, top_k_patches=4)
+    cfg64 = cfg224.replace(img_size=64)  # grid 4 -> 8
+    params = vit.init(cfg224, jax.random.key(0))
+    sd = wio.state_dict_from_pytree(params, cfg224)
+    loaded = wio.pytree_from_state_dict(sd, cfg64)
+    assert loaded["pos_embed"].shape == (1, cfg64.seq_len, 64)
+    x = jnp.zeros((1, 64, 64, 3))
+    out = vit.apply(loaded, x, cfg64)
+    assert out.logits.shape == (1, 5)
+    # upsampled grid stays in the value range and correlates with the
+    # original (bicubic is half-pixel, so corners aren't exactly preserved)
+    old_grid = np.asarray(params["pos_embed"])[0, 1:].reshape(4, 4, 64)
+    new_grid = np.asarray(loaded["pos_embed"])[0, 1:].reshape(8, 8, 64)
+    assert abs(new_grid.mean() - old_grid.mean()) < 1e-3
+    # 2x2 block means of the 8x8 grid approximate the 4x4 originals
+    block_means = new_grid.reshape(4, 2, 4, 2, 64).mean(axis=(1, 3))
+    corr = np.corrcoef(block_means.ravel(), old_grid.ravel())[0, 1]
+    assert corr > 0.95

@@ -129,3 +129,53 @@ def test_batch_loader_process_sharding():
                          process_index=pi, process_count=2)
         seen += [n for b in dl for n in b["name"]]
     assert sorted(seen) == [str(i) for i in range(8)]
+
+
+def test_native_loader_matches_pil(tmp_path):
+    """Native C++ decode+resize+normalize vs the PIL path: within one uint8
+    quantization level (PIL resizes with 8-bit fixed-point coefficients)."""
+    from vision_transformer_cam_tpu.io import native_loader as nl
+    if not nl.available():
+        pytest.skip("native library unavailable")
+    import PIL.Image
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(3):
+        arr = rng.integers(0, 256, (150 + 11 * i, 201 - 13 * i, 3),
+                           dtype=np.uint8)
+        p = tmp_path / f"n{i}.jpg"
+        PIL.Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+    out = nl.decode_batch(paths, 224)
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    ref = np.stack([transforms.preprocess_array(
+        np.asarray(PIL.Image.open(p).convert("RGB")), 224, mean, std)
+        for p in paths])
+    assert np.abs(out - ref).max() < 2.0 / 255.0 / min(std)
+
+
+def test_batch_loader_native_decode(tmp_path):
+    """BatchLoader(native_decode=True) produces the same batch structure and
+    near-identical pixels as the PIL path on a VOC12Dataset."""
+    from vision_transformer_cam_tpu.io import native_loader as nl
+    if not nl.available():
+        pytest.skip("native library unavailable")
+    import PIL.Image
+    from vision_transformer_cam_tpu.data.loader import BatchLoader
+    rng = np.random.default_rng(4)
+    (tmp_path / "JPEGImages").mkdir()
+    names = ["2010_000001", "2010_000002"]
+    for n in names:
+        PIL.Image.fromarray(rng.integers(0, 256, (99, 131, 3),
+                                         dtype=np.uint8)).save(
+            tmp_path / "JPEGImages" / f"{n}.jpg")
+    (tmp_path / "split.txt").write_text(
+        "\n".join(f"/JPEGImages/{n}.jpg" for n in names) + "\n")
+    ds = voc12.VOC12Dataset(str(tmp_path / "split.txt"), str(tmp_path),
+                            img_size=64)
+    pil_batch = next(iter(BatchLoader(ds, 2, shuffle=False)))
+    nat_batch = next(iter(BatchLoader(ds, 2, shuffle=False,
+                                      native_decode=True)))
+    assert nat_batch["name"] == pil_batch["name"]
+    assert nat_batch["image"].shape == pil_batch["image"].shape
+    assert np.abs(nat_batch["image"] - pil_batch["image"]).max() < 0.05

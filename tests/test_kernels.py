@@ -1,0 +1,115 @@
+"""Pallas kernel vs XLA-oracle parity (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from vision_transformer_cam_tpu import configs  # noqa: E402
+from vision_transformer_cam_tpu.kernels import attention as ka  # noqa: E402
+from vision_transformer_cam_tpu.models import vit  # noqa: E402
+
+TINY = configs.ViTCAMConfig(img_size=32, patch_size=8, embed_dim=64, depth=6,
+                            num_heads=4, num_classes=20, mask_from=2,
+                            top_k_patches=4)
+
+
+def _qkv(b=2, h=4, n=37, dh=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((b, h, n, dh)),
+                             jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    bg = jnp.asarray((rng.random((b, n)) < 0.3), jnp.float32)
+    bg = bg.at[:, 0].set(0.0)  # cls token never background
+    return q, k, v, bg
+
+
+def _oracle(q, k, v, bg, scale, mask_value=-100.0):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    pair = jnp.minimum(bg[:, :, None] + bg[:, None, :], 1.0)
+    s = s + (mask_value * pair)[:, None]
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    return out, jnp.mean(p, axis=1)[:, 0, :]
+
+
+def test_masked_attention_kernel_matches_oracle():
+    q, k, v, bg = _qkv()
+    out, cls = ka.masked_attention(q, k, v, bg, scale=0.25, interpret=True)
+    want_out, want_cls = _oracle(q, k, v, bg, 0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(want_cls),
+                               atol=1e-6)
+    # cls rows are probability vectors
+    np.testing.assert_allclose(np.asarray(jnp.sum(cls, -1)), 1.0, atol=1e-5)
+
+
+def test_masked_attention_no_mask_case():
+    q, k, v, _ = _qkv(seed=3)
+    bg = jnp.zeros(q.shape[0::3][:1] + (q.shape[2],))  # [B, N] zeros
+    bg = jnp.zeros((q.shape[0], q.shape[2]), jnp.float32)
+    out, cls = ka.masked_attention(q, k, v, bg, scale=0.125, interpret=True)
+    want_out, want_cls = _oracle(q, k, v, bg, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(want_cls),
+                               atol=1e-6)
+
+
+def test_full_model_pallas_path_matches_xla():
+    """End-to-end: cfg.attn_impl='pallas' must reproduce the XLA forward
+    (logits, head1, cls rows) on the tiny model."""
+    params = vit.init(TINY, jax.random.key(0))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ref = vit.apply(params, x, TINY)
+    got = vit.apply(params, x, TINY.replace(attn_impl="pallas"))
+    np.testing.assert_allclose(np.asarray(got.logits),
+                               np.asarray(ref.logits), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.head1_logits),
+                               np.asarray(ref.head1_logits), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.attn_cls_rows),
+                               np.asarray(ref.attn_cls_rows), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.top_patch_idx),
+                                  np.asarray(ref.top_patch_idx))
+
+
+def test_masked_attention_with_headmean():
+    q, k, v, bg = _qkv(seed=5)
+    out, cls, hm = ka.masked_attention(q, k, v, bg, scale=0.25,
+                                       with_headmean=True, interpret=True)
+    want_out, want_cls = _oracle(q, k, v, bg, 0.25)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+    pair = jnp.minimum(bg[:, :, None] + bg[:, None, :], 1.0)
+    want_hm = jnp.mean(jax.nn.softmax(s + (-100.0 * pair)[:, None], -1), 1)
+    np.testing.assert_allclose(np.asarray(hm), np.asarray(want_hm), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(hm[:, 0, :]),
+                               atol=1e-6)
+
+
+def test_full_model_pallas_rollout_matches_xla():
+    """need_rollout through the pallas path (kernel-emitted headmean feeding
+    the in-scan joint product) == the XLA path."""
+    params = vit.init(TINY, jax.random.key(1))
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ref = vit.apply(params, x, TINY, need_rollout=True)
+    got = vit.apply(params, x, TINY.replace(attn_impl="pallas"),
+                    need_rollout=True)
+    np.testing.assert_allclose(np.asarray(got.rollout_row),
+                               np.asarray(ref.rollout_row), atol=1e-5)
+
+
+def test_pallas_path_falls_back_for_probs():
+    """need_headmean forces the XLA path (full tensors requested)."""
+    params = vit.init(TINY, jax.random.key(0))
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    got = vit.apply(params, x, TINY.replace(attn_impl="pallas"),
+                    need_headmean=True)
+    assert got.attn_headmean is not None
+    np.testing.assert_allclose(
+        np.asarray(got.attn_headmean[:, :, 0, :]),
+        np.asarray(got.attn_cls_rows), atol=1e-6)

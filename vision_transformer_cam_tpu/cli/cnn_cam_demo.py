@@ -1,0 +1,70 @@
+"""Classic CNN-CAM demo (t.py:1-130 parity).
+
+The reference hooks torchvision ResNet18's last conv block, dots the feature
+maps with the fc weights of the top-5 softmax classes and writes JET-overlay
+jpgs.  Same flow here with the JAX ResNet (models/resnet.py); weights load
+from an .npz pytree (no torchvision download in this environment — random
+weights demonstrate the pipeline).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from vision_transformer_cam_tpu.cam.render import overlay_cam
+from vision_transformer_cam_tpu.data.transforms import preprocess_array
+from vision_transformer_cam_tpu.models import resnet
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image", type=str, required=True)
+    p.add_argument("--weights", type=str, default="",
+                   help=".npz resnet pytree; empty = random init")
+    p.add_argument("--num_classes", type=int, default=1000)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--out", type=str, default="./cnn_cam")
+    return p
+
+
+def main(argv=None):
+    from vision_transformer_cam_tpu.utils import honor_jax_platforms_env
+    honor_jax_platforms_env()
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.weights:
+        from vision_transformer_cam_tpu.io.weights import load_npz
+        params = load_npz(args.weights)
+    else:
+        params = resnet.init(jax.random.key(0),
+                             num_classes=args.num_classes)
+
+    import PIL.Image
+    pil = PIL.Image.open(args.image).convert("RGB")
+    img_bgr = np.asarray(pil)[..., ::-1]
+    x = preprocess_array(np.asarray(pil), 224, (0.485, 0.456, 0.406),
+                         (0.229, 0.224, 0.225))
+    logits, feats = resnet.apply(params, x[None])
+    probs = np.asarray(jax.nn.softmax(logits[0]))
+    top = np.argsort(-probs)[:args.topk]
+    print("top classes:", [(int(c), float(probs[c])) for c in top])
+
+    cams = resnet.return_cam(np.asarray(feats[0]),
+                             np.asarray(params["fc"]["kernel"]), top)
+    name = os.path.splitext(os.path.basename(args.image))[0]
+    for rank, (c, cam) in enumerate(zip(top, cams)):
+        out = overlay_cam(cam, img_bgr)
+        path = os.path.join(args.out, f"{name}_cam_top{rank}_cls{int(c)}.jpg")
+        from vision_transformer_cam_tpu.cam.render import _imwrite
+        _imwrite(path, out)
+        print("saved", path)
+    return {"top": top, "probs": probs, "cams": cams}
+
+
+if __name__ == "__main__":
+    main()

@@ -23,9 +23,16 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, num_threads: int = 4,
                  prefetch: int = 2, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, native_decode: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
+        # native batched JPEG decode (io/native_loader) replaces PIL per-item
+        # when the dataset exposes image_path()/meta() and the .so builds
+        self.native_decode = native_decode and hasattr(dataset, "image_path")
+        if self.native_decode:
+            from vision_transformer_cam_tpu.io import native_loader
+            self.native_decode = native_loader.available()
+            self._native = native_loader
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -77,14 +84,26 @@ class BatchLoader:
                     {s.shape for s in segs}) == 1 else segs
             return batch
 
+        def native_batch(sl):
+            ds = self.dataset
+            imgs = self._native.decode_batch(
+                [ds.image_path(i) for i in sl], ds.img_size,
+                tuple(ds.mean), tuple(ds.std), self.num_threads)
+            items = [dict(ds.meta(i), image=imgs[j])
+                     for j, i in enumerate(sl)]
+            return collate(items)
+
         def producer():
             with ThreadPoolExecutor(self.num_threads) as pool:
                 for b in range(nb):
                     if stop.is_set():
                         return
                     sl = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                    items = list(pool.map(self.dataset.__getitem__, sl))
-                    q.put(collate(items))
+                    if self.native_decode:
+                        q.put(native_batch(sl))
+                    else:
+                        items = list(pool.map(self.dataset.__getitem__, sl))
+                        q.put(collate(items))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -114,6 +114,22 @@ class VOC12Dataset:
     def __len__(self):
         return len(self.img_name_list)
 
+    def image_path(self, idx: int) -> str:
+        """Image file path for batched native decoding (io/native_loader)."""
+        return get_img_path(self.img_name_list[idx], self.voc12_root)
+
+    def meta(self, idx: int) -> dict:
+        """Everything __getitem__ returns except the decoded image."""
+        name = self.img_name_list[idx]
+        item = {"name": name}
+        if self.label_list is not None:
+            item["label"] = np.asarray(self.label_list[idx], np.float32)
+        if self.seg_label_flag:
+            import PIL.Image
+            seg = PIL.Image.open(get_seg_label_path(name, self.voc12_root))
+            item["seg_label"] = np.asarray(seg, dtype=np.int32)
+        return item
+
     def __getitem__(self, idx: int):
         from vision_transformer_cam_tpu.data.transforms import (
             load_and_preprocess)

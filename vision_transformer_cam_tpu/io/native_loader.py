@@ -1,0 +1,85 @@
+"""ctypes bindings for the native IO library (native/vitcam_io.cc).
+
+Builds the .so on first use (g++ + libjpeg, both in the base image), then
+exposes `decode_batch(paths | buffers) -> [N, S, S, 3] float32` with
+ImageNet normalization applied — the multi-threaded native replacement for
+the reference's PIL-per-item DataLoader workers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libvitcam_io.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                       capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        lib.vitcam_decode_batch.restype = ctypes.c_int
+        lib.vitcam_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def decode_batch(items: Sequence, img_size: int = 224,
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                 num_threads: int = 0) -> np.ndarray:
+    """items: file paths or raw JPEG bytes.  Returns [N, S, S, 3] float32."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native IO library unavailable")
+    bufs = [open(it, "rb").read() if isinstance(it, (str, os.PathLike))
+            else bytes(it) for it in items]
+    n = len(bufs)
+    arr_p = (ctypes.c_char_p * n)(*bufs)
+    arr_l = (ctypes.c_long * n)(*[len(b) for b in bufs])
+    mean_a = (ctypes.c_float * 3)(*mean)
+    std_a = (ctypes.c_float * 3)(*std)
+    out = np.empty((n, img_size, img_size, 3), np.float32)
+    if num_threads <= 0:
+        num_threads = min(n, os.cpu_count() or 1)
+    fails = lib.vitcam_decode_batch(
+        arr_p, arr_l, n, img_size, mean_a, std_a,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads)
+    if fails:
+        raise ValueError(f"{fails}/{n} JPEGs failed to decode")
+    return out

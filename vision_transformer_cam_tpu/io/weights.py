@@ -69,13 +69,28 @@ def pytree_from_state_dict(sd: Dict[str, np.ndarray], cfg: ViTCAMConfig,
         },
         "cls_token": get("cls_token", lambda w: w, fb("cls_token")),
         "pos_embed": get("pos_embed", lambda w: w, fb("pos_embed")),
+    }
+
+    # Checkpoints trained at another resolution: bicubic-interpolate the grid
+    # part of pos_embed (capability the reference lacks — its fixed-size
+    # pos_embed hard-asserts the input size, vit_model.py:69-70,252).
+    if out["pos_embed"].shape[1] != cfg.seq_len:
+        from vision_transformer_cam_tpu.ops.interpolate import (
+            interpolate_pos_embed)
+        old_grid = int(round((out["pos_embed"].shape[1] -
+                              cfg.num_tokens) ** 0.5))
+        out["pos_embed"] = jnp.asarray(interpolate_pos_embed(
+            out["pos_embed"], old_grid, cfg.grid_size,
+            num_tokens=cfg.num_tokens), dtype=cfg.param_dtype)
+
+    out.update({
         "norm": {"scale": get("norm.weight", lambda w: w, fb("norm", "scale")),
                  "bias": get("norm.bias", lambda w: w, fb("norm", "bias"))},
         "head": {"kernel": get("head.weight", _t, fb("head", "kernel")),
                  "bias": get("head.bias", lambda w: w, fb("head", "bias"))},
         "head1": {"kernel": get("head1.weight", _t, fb("head1", "kernel")),
                   "bias": get("head1.bias", lambda w: w, fb("head1", "bias"))},
-    }
+    })
     if cfg.has_logits:
         out["pre_logits"] = {
             "kernel": get("pre_logits.fc.weight", _t,

@@ -1,0 +1,154 @@
+"""Fused masked multi-head attention Pallas kernel for TPU.
+
+The hot op of the reference (vit_model.py:103-140) with its two CAM-specific
+twists, fused into one VMEM-resident kernel:
+
+  * the additive foreground/background pair mask is reconstructed in-kernel
+    from the rank-1 bg indicator [B, N] — the reference materializes a full
+    [B, 197, 197] mask per block (vit_model.py:348-361) and XLA would stream
+    it from HBM every layer;
+  * the head-mean cls attention row (the sufficient statistic for rollout,
+    mask generation and the top-16 selection — vit_model.py:329,366) is
+    accumulated across heads inside the kernel, so the [B, H, N, N]
+    probability tensor never exists in HBM.
+
+Numerics match the XLA path: logits in f32, additive mask value (default
+-100) pre-softmax, softmax over the true N keys (padded keys get -1e9).
+
+Grid: one program per batch element; the 12 heads loop inside the program
+(statically unrolled), everything resident in VMEM
+(3 x H x Np x dh + S[Np, Np] f32 ~ 2 MB at ViT-B sizes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
+    n_real, scale = kw["n_real"], kw["scale"]
+    mask_value, num_heads = kw["mask_value"], kw["num_heads"]
+    np_ = q_ref.shape[-2]
+    bg = bg_ref[0, 0]                                     # [Np] f32
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    valid = col < n_real
+    # pair mask from the rank-1 bg indicator: -100 * min(bg_i + bg_j, 1)
+    pair = jnp.minimum(bg[:, None] + bg[None, :], 1.0) * mask_value
+    pair = jnp.where(valid, pair, -1e9)                   # kill padded keys
+
+    cls_acc = jnp.zeros((1, np_), jnp.float32)
+    hm_acc = jnp.zeros((np_, np_), jnp.float32) if hm_ref else None
+    for h in range(num_heads):
+        q = q_ref[0, h]                                   # [Np, dh]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [Np, Np]
+        s = s + pair
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        cls_acc = cls_acc + p[0:1, :]
+        if hm_ref:
+            hm_acc = hm_acc + p
+        # Mosaic requires 32-bit matmul accumulators; cast on store.
+        o_ref[0, h] = jnp.dot(p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32
+                              ).astype(o_ref.dtype)
+    cls_ref[0, 0] = (cls_acc[0] / num_heads).astype(cls_ref.dtype)
+    if hm_ref:
+        hm_ref[0][0] = (hm_acc / num_heads).astype(hm_ref[0].dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "mask_value",
+                                             "with_headmean", "interpret"))
+def masked_attention(q, k, v, bg, *, scale: float, mask_value: float = -100.0,
+                     with_headmean: bool = False, interpret: bool = False):
+    """q, k, v: [B, H, N, dh]; bg: [B, N] (1.0 = background token).
+
+    Returns (out [B, H, N, dh], cls_row [B, N][, headmean [B, N, N]]) where
+    cls_row is the head-mean softmax row of the cls token (pre-dropout, as
+    the reference snapshots it — vit_model.py:128).  `with_headmean`
+    additionally emits the full head-mean probability matrix (consumed
+    immediately by the in-scan rollout update; never stacked across layers).
+    """
+    b, h, n, dh = q.shape
+    np_ = _round_up(n, 128)
+    pad = np_ - n
+    if pad:
+        cfgp = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(t, cfgp) for t in (q, k, v))
+        bg = jnp.pad(bg, ((0, 0), (0, pad)))
+    bg = bg.astype(jnp.float32)[:, None, :]              # [B, 1, Np]
+
+    kernel = functools.partial(_attn_kernel, n_real=n, scale=scale,
+                               mask_value=mask_value, num_heads=h)
+    qkv_spec = pl.BlockSpec((1, h, np_, dh), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, np_), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [qkv_spec, row_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, h, np_, dh), q.dtype),
+                 jax.ShapeDtypeStruct((b, 1, np_), q.dtype)]
+    if with_headmean:
+        out_specs.append(pl.BlockSpec((1, np_, np_), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, np_, np_), q.dtype))
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, row_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * np_ * np_ * dh,
+            bytes_accessed=4 * b * h * np_ * dh * q.dtype.itemsize,
+            transcendentals=b * h * np_ * np_,
+        ),
+        interpret=interpret,
+    )(q, k, v, bg)
+    out, cls_row = res[0], res[1][:, 0, :]
+    hm = res[2] if with_headmean else None
+    if pad:
+        out = out[:, :, :n, :]
+        cls_row = cls_row[:, :n]
+        if hm is not None:
+            hm = hm[:, :n, :n]
+    return (out, cls_row, hm) if with_headmean else (out, cls_row)
+
+
+def attention_pallas(ap, x, bg, cfg, rngs, need_probs):
+    """Drop-in for models.vit._attention_xla (same signature/returns) using
+    the fused kernel.  Falls back to the XLA path when the caller needs the
+    per-head probability tensors (predict/validate visualization) or dropout
+    rngs (training — the kernel has no backward pass yet)."""
+    if need_probs == "perhead" or rngs:
+        from vision_transformer_cam_tpu.models.vit import _attention_xla
+        return _attention_xla(ap, x, bg, cfg, rngs, need_probs)
+    b, n, c = x.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+    qkv = jnp.dot(x, ap["qkv"]["kernel"],
+                  preferred_element_type=cfg.dtype) + ap["qkv"]["bias"]
+    qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    res = masked_attention(
+        q, k, v, bg, scale=cfg.scale, mask_value=cfg.mask_value,
+        with_headmean=need_probs == "headmean",
+        interpret=jax.default_backend() != "tpu")
+    out, cls_row = res[0], res[1]
+    hm = res[2] if need_probs == "headmean" else None
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+    out = jnp.dot(out, ap["proj"]["kernel"],
+                  preferred_element_type=cfg.dtype) + ap["proj"]["bias"]
+    return out, cls_row.astype(cfg.dtype), hm, None

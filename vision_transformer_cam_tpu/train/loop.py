@@ -132,6 +132,13 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
     log_path = os.path.join(log_dir, f"train_log_{stamp}.txt") \
         if is_main else None
+    tb = None
+    if is_main:
+        try:  # TensorBoard scalars, same tags as train_and_validate.py:170-176
+            from torch.utils.tensorboard import SummaryWriter
+            tb = SummaryWriter(os.path.join(log_dir, f"tb_{stamp}"))
+        except Exception:
+            pass
     best_loss = float("inf")
     with mesh:
         for epoch in range(n_epochs):
@@ -145,6 +152,12 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
                       f"f1 {tm.get('f1', 0):.4f} "
                       f"mAP_196 {em['mAP_196patch']:.4f} "
                       f"mAP_16 {em['mAP_16patch']:.4f} lr {lr:.2e}")
+            if tb is not None:
+                tb.add_scalar("train_loss", tm.get("loss", 0.0), epoch)
+                tb.add_scalar("f1_score", tm.get("f1", 0.0), epoch)
+                tb.add_scalar("mAP_multiple_class_label",
+                              em["mAP_16patch"], epoch)
+                tb.add_scalar("learning_rate", lr, epoch)
             if is_main and tm.get("loss", float("inf")) < best_loss:
                 best_loss = tm["loss"]
                 ckptlib.save(train_cfg.ckpt_dir,
@@ -152,4 +165,6 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
         if is_main:
             ckptlib.save(train_cfg.ckpt_dir,
                          f"{stamp}-cur_ep{n_epochs - 1}-final", state)
+    if tb is not None:
+        tb.close()
     return state
