@@ -58,6 +58,29 @@ def test_masked_attention_no_mask_case():
                                atol=1e-6)
 
 
+def test_masked_attention_fused_matches_oracle():
+    """v2 kernel (fused qkv in, [B,N,C] out) vs the split-tensor oracle."""
+    q, k, v, bg = _qkv(b=2, h=4, n=37, dh=16, seed=21)
+    b, h, n, dh = q.shape
+    # pack as the qkv GEMM emits: [B, N, 3C], heads contiguous inside q|k|v
+    pack = jnp.concatenate(
+        [t.transpose(0, 2, 1, 3).reshape(b, n, h * dh) for t in (q, k, v)],
+        axis=-1)
+    out, cls = ka.masked_attention_fused(pack, bg, num_heads=h, scale=0.25,
+                                         interpret=True)
+    want_out, want_cls = _oracle(q, k, v, bg, 0.25)
+    want_out = jnp.transpose(want_out, (0, 2, 1, 3)).reshape(b, n, h * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(want_cls),
+                               atol=1e-6)
+    out2, cls2, hm = ka.masked_attention_fused(
+        pack, bg, num_heads=h, scale=0.25, with_headmean=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(hm[:, 0, :]), np.asarray(cls2),
+                               atol=1e-6)
+
+
 def test_full_model_pallas_path_matches_xla():
     """End-to-end: cfg.attn_impl='pallas' must reproduce the XLA forward
     (logits, head1, cls rows) on the tiny model."""

@@ -128,6 +128,92 @@ def masked_attention(q, k, v, bg, *, scale: float, mask_value: float = -100.0,
     return (out, cls_row, hm) if with_headmean else (out, cls_row)
 
 
+def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
+    """v2 kernel: consumes the fused qkv GEMM output [1, N, 3C] directly and
+    writes [1, N, C] — no host-side head transpose or seq padding; Mosaic
+    handles the non-128-aligned N internally."""
+    scale, mask_value = kw["scale"], kw["mask_value"]
+    h, dh = kw["num_heads"], kw["head_dim"]
+    n = qkv_ref.shape[-2]
+    c = h * dh
+    bg = bg_ref[0, 0]                                     # [N] f32
+    pair = jnp.minimum(bg[:, None] + bg[None, :], 1.0) * mask_value
+
+    cls_acc = jnp.zeros((1, n), jnp.float32)
+    hm_acc = jnp.zeros((n, n), jnp.float32) if hm_ref else None
+    for i in range(h):
+        q = qkv_ref[0, :, i * dh:(i + 1) * dh]
+        k = qkv_ref[0, :, c + i * dh:c + (i + 1) * dh]
+        v = qkv_ref[0, :, 2 * c + i * dh:2 * c + (i + 1) * dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [N, N]
+        s = s + pair
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        cls_acc = cls_acc + p[0:1, :]
+        if hm_ref:
+            hm_acc = hm_acc + p
+        o_ref[0, :, i * dh:(i + 1) * dh] = jnp.dot(
+            p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    cls_ref[0, 0] = (cls_acc[0] / h).astype(cls_ref.dtype)
+    if hm_ref:
+        hm_ref[0][0] = (hm_acc / h).astype(hm_ref[0].dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "mask_value", "with_headmean",
+                                             "interpret"))
+def masked_attention_fused(qkv, bg, *, num_heads: int, scale: float,
+                           mask_value: float = -100.0,
+                           with_headmean: bool = False,
+                           interpret: bool = False):
+    """qkv: [B, N, 3C] (the fused qkv projection, layout [q|k|v] with heads
+    contiguous inside each); bg: [B, N].  Returns (out [B, N, C],
+    cls_row [B, N][, headmean [B, N, N]])."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // num_heads
+    bgk = bg.astype(jnp.float32)[:, None, :]              # [B, 1, N]
+
+    kernel = functools.partial(_attn_kernel_fused, scale=scale,
+                               mask_value=mask_value, num_heads=num_heads,
+                               head_dim=dh)
+    qkv_spec = pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [o_spec, row_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+                 jax.ShapeDtypeStruct((b, 1, n), qkv.dtype)]
+    if with_headmean:
+        out_specs.append(pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, n, n), qkv.dtype))
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[qkv_spec, row_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * num_heads * n * n * dh,
+            bytes_accessed=2 * b * n * (c3 + c) * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(qkv, bgk)
+    out, cls_row = res[0], res[1][:, 0, :]
+    if with_headmean:
+        return out, cls_row, res[2]
+    return out, cls_row
+
+
 def attention_pallas(ap, x, bg, cfg, rngs, need_probs):
     """Drop-in for models.vit._attention_xla (same signature/returns) using
     the fused kernel.  Falls back to the XLA path when the caller needs the
@@ -137,18 +223,14 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs):
         from vision_transformer_cam_tpu.models.vit import _attention_xla
         return _attention_xla(ap, x, bg, cfg, rngs, need_probs)
     b, n, c = x.shape
-    h, dh = cfg.num_heads, cfg.head_dim
     qkv = jnp.dot(x, ap["qkv"]["kernel"],
                   preferred_element_type=cfg.dtype) + ap["qkv"]["bias"]
-    qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    res = masked_attention(
-        q, k, v, bg, scale=cfg.scale, mask_value=cfg.mask_value,
-        with_headmean=need_probs == "headmean",
+    res = masked_attention_fused(
+        qkv, bg, num_heads=cfg.num_heads, scale=cfg.scale,
+        mask_value=cfg.mask_value, with_headmean=need_probs == "headmean",
         interpret=jax.default_backend() != "tpu")
     out, cls_row = res[0], res[1]
     hm = res[2] if need_probs == "headmean" else None
-    out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
     out = jnp.dot(out, ap["proj"]["kernel"],
                   preferred_element_type=cfg.dtype) + ap["proj"]["bias"]
     return out, cls_row.astype(cfg.dtype), hm, None
