@@ -137,3 +137,36 @@ def test_train_cli_one_epoch(voc_tree, tmp_path, tiny_zoo, monkeypatch):
     assert any("bestloss" in c for c in ckpts)
     logs = [f for f in os.listdir(tmp_path) if f.startswith("train_log_")]
     assert logs
+
+
+def test_make_splits_tool(tmp_path):
+    from vision_transformer_cam_tpu.cli import tools
+    root = tmp_path / "voc"
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    (root / "SegmentationClassAug").mkdir()
+    ids = ["2007_000001", "2007_000002", "2007_000003"]
+    (root / "ImageSets" / "Segmentation" / "train.txt").write_text(
+        "\n".join(ids[:2]) + "\n")
+    (root / "ImageSets" / "Segmentation" / "val.txt").write_text(ids[2] + "\n")
+    for i in ids:
+        (root / "SegmentationClassAug" / f"{i}.png").write_bytes(b"")
+    out = tmp_path / "splits"
+    tools.main(["make_splits", "--voc12_root", str(root),
+                "--out_dir", str(out)])
+    from vision_transformer_cam_tpu.data.voc12 import load_img_name_list
+    assert load_img_name_list(str(out / "train.txt")) == ids[:2]
+    assert load_img_name_list(str(out / "train_aug.txt")) == ids
+    assert load_img_name_list(str(out / "trainaug_val.txt")) == ids
+    line = (out / "train.txt").read_text().splitlines()[0]
+    assert line == "/JPEGImages/2007_000001.jpg /SegmentationClassAug/2007_000001.png"
+
+
+def test_validate_cli_pallas_impl(voc_tree, tmp_path, tiny_zoo, monkeypatch):
+    from vision_transformer_cam_tpu.cli import validate as vcli
+    monkeypatch.chdir(tmp_path)
+    res = vcli.main(["--model_name", tiny_zoo,
+                     "--dataset_path", str(voc_tree),
+                     "--val_img_name_path", str(voc_tree / "split.txt"),
+                     "--batch_size", "4", "--attn_impl", "pallas",
+                     "--seg_pred_dir", str(tmp_path / "sp")])
+    assert np.isfinite(res["mIoU"])

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, default="./predict_cam")
     p.add_argument("--no_figure", action="store_true",
                    help="skip the matplotlib grid (arrays only)")
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="auto = fused Pallas kernel on TPU, XLA elsewhere")
     return p
 
 
@@ -125,6 +128,10 @@ def main(argv=None):
                                     configs.vit_base_patch16_224_in21k)
     cfg = factory(num_classes=args.num_classes)
     cfg = cfg.replace(representation_size=None)  # has_logits=False
+    impl = args.attn_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cfg = cfg.replace(attn_impl=impl)
     init_params = vit.init(cfg, jax.random.key(0))
     if args.weights:
         # head keys deleted, strict=False fallback to init (predict.py:117-123)

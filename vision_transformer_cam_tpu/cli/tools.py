@@ -23,6 +23,41 @@ def cmd_make_cls_labels(args):
     print(f"wrote {args.out} with {len(d)} entries")
 
 
+def cmd_make_splits(args):
+    """Generate the voc12 split txt files (the reference ships them as data
+    assets, voc12/{train,val,train_aug,...}.txt) from a VOC2012 installation:
+    one line per image, '/JPEGImages/<id>.jpg /SegmentationClass<Aug>/<id>.png'.
+    Sources: ImageSets/Segmentation/{train,val,trainval}.txt, plus the SBD
+    aug list when SegmentationClassAug exists."""
+    import os
+    seg_sets = os.path.join(args.voc12_root, "ImageSets", "Segmentation")
+    aug_dir = os.path.join(args.voc12_root, "SegmentationClassAug")
+    has_aug = os.path.isdir(aug_dir)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def write_split(name, ids, seg_folder):
+        path = os.path.join(args.out_dir, f"{name}.txt")
+        with open(path, "w") as f:
+            for i in ids:
+                f.write(f"/JPEGImages/{i}.jpg /{seg_folder}/{i}.png\n")
+        print(f"wrote {path} ({len(ids)} images)")
+
+    def read_ids(fname):
+        with open(os.path.join(seg_sets, fname)) as f:
+            return [l.strip().split()[0] for l in f if l.strip()]
+
+    write_split("train", read_ids("train.txt"),
+                "SegmentationClassAug" if has_aug else "SegmentationClass")
+    write_split("val", read_ids("val.txt"),
+                "SegmentationClassAug" if has_aug else "SegmentationClass")
+    if has_aug:
+        aug_ids = sorted(os.path.splitext(p)[0]
+                         for p in os.listdir(aug_dir) if p.endswith(".png"))
+        write_split("train_aug", aug_ids, "SegmentationClassAug")
+        trainaug_val = sorted(set(aug_ids) | set(read_ids("val.txt")))
+        write_split("trainaug_val", trainaug_val, "SegmentationClassAug")
+
+
 def cmd_get_palette(args):
     from vision_transformer_cam_tpu.data.palette import (palette_from_png,
                                                          save_palette_json)
@@ -65,6 +100,11 @@ def build_parser():
     m.add_argument("--voc12_root", required=True)
     m.add_argument("--out", default="cls_labels.npy")
     m.set_defaults(fn=cmd_make_cls_labels)
+
+    s = sub.add_parser("make_splits")
+    s.add_argument("--voc12_root", required=True)
+    s.add_argument("--out_dir", default="./voc12")
+    s.set_defaults(fn=cmd_make_splits)
 
     g = sub.add_parser("get_palette")
     g.add_argument("--png", default="",

@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="optional palette.json; default = built-in VOC map")
     p.add_argument("--limit", type=int, default=0,
                    help="stop after N images (smoke runs)")
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="auto = fused Pallas kernel on TPU, XLA elsewhere")
     return p
 
 
@@ -65,6 +68,10 @@ def val(args) -> dict:
                                     configs.vit_base_patch16_224_in21k)
     cfg = factory(num_classes=args.num_classes)
     cfg = cfg.replace(representation_size=None)  # has_logits=False
+    impl = args.attn_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    cfg = cfg.replace(attn_impl=impl)
     pcfg = configs.PseudoSegConfig()
     if args.weights:
         # full fine-tuned load, heads kept (validate.py:106-110)

@@ -222,15 +222,14 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs):
     if need_probs == "perhead" or rngs:
         from vision_transformer_cam_tpu.models.vit import _attention_xla
         return _attention_xla(ap, x, bg, cfg, rngs, need_probs)
+    from vision_transformer_cam_tpu.models.vit import _linear
     b, n, c = x.shape
-    qkv = jnp.dot(x, ap["qkv"]["kernel"],
-                  preferred_element_type=cfg.dtype) + ap["qkv"]["bias"]
+    qkv = _linear(x, ap["qkv"], cfg)
     res = masked_attention_fused(
         qkv, bg, num_heads=cfg.num_heads, scale=cfg.scale,
         mask_value=cfg.mask_value, with_headmean=need_probs == "headmean",
         interpret=jax.default_backend() != "tpu")
     out, cls_row = res[0], res[1]
     hm = res[2] if need_probs == "headmean" else None
-    out = jnp.dot(out, ap["proj"]["kernel"],
-                  preferred_element_type=cfg.dtype) + ap["proj"]["bias"]
+    out = _linear(out, ap["proj"], cfg)
     return out, cls_row.astype(cfg.dtype), hm, None

@@ -175,6 +175,17 @@ def init(cfg: ViTCAMConfig, key: jax.Array):
 # forward
 # ---------------------------------------------------------------------------
 
+
+def _linear(x, p, cfg):
+    """GEMM dispatch: bf16/f32 jnp.dot, or int8 MXU path when the param node
+    was rewritten by ops.quant.quantize_params (has 'kernel_q')."""
+    if "kernel_q" in p:
+        from vision_transformer_cam_tpu.ops.quant import qlinear
+        return qlinear(x, p, p.get("bias"), out_dtype=cfg.dtype)
+    return jnp.dot(x, p["kernel"],
+                   preferred_element_type=cfg.dtype) + p["bias"]
+
+
 def patch_embed(params, x, cfg: ViTCAMConfig):
     """16x16/s16 conv (vit_model.py:64,76) as a reshape + one MXU matmul.
 
@@ -188,8 +199,7 @@ def patch_embed(params, x, cfg: ViTCAMConfig):
             f"({cfg.img_size}*{cfg.img_size}).")
     x = x.reshape(b, g, p, g, p, c).transpose(0, 1, 3, 2, 4, 5)
     x = x.reshape(b, g * g, p * p * c)
-    return jnp.dot(x, params["kernel"],
-                   preferred_element_type=cfg.dtype) + params["bias"]
+    return _linear(x, params, cfg)
 
 
 def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs):
@@ -201,8 +211,7 @@ def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs):
     """
     b, n, c = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
-    qkv = jnp.dot(x, ap["qkv"]["kernel"],
-                  preferred_element_type=cfg.dtype) + ap["qkv"]["bias"]
+    qkv = _linear(x, ap["qkv"], cfg)
     qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -219,8 +228,7 @@ def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs):
     out = jnp.einsum("bhqk,bhkd->bhqd", probs_used, v,
                      preferred_element_type=cfg.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-    out = jnp.dot(out, ap["proj"]["kernel"],
-                  preferred_element_type=cfg.dtype) + ap["proj"]["bias"]
+    out = _linear(out, ap["proj"], cfg)
     if rngs:
         out = _dropout(rngs.get("proj"), cfg.drop_ratio, out)
     ph = probs if need_probs == "perhead" else None
@@ -300,14 +308,10 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             o = _drop_path(rngs["dp1"], dp, o)
         tok = tok + o
         yn = _layer_norm(tok, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.ln_eps)
-        hmid = _gelu(jnp.dot(yn, lp["mlp"]["fc1"]["kernel"],
-                             preferred_element_type=cfg.dtype)
-                     + lp["mlp"]["fc1"]["bias"])
+        hmid = _gelu(_linear(yn, lp["mlp"]["fc1"], cfg))
         if use_rng:
             hmid = _dropout(rngs["mlp1"], cfg.drop_ratio, hmid)
-        ymlp = jnp.dot(hmid, lp["mlp"]["fc2"]["kernel"],
-                       preferred_element_type=cfg.dtype) \
-            + lp["mlp"]["fc2"]["bias"]
+        ymlp = _linear(hmid, lp["mlp"]["fc2"], cfg)
         if use_rng:
             ymlp = _dropout(rngs["mlp2"], cfg.drop_ratio, ymlp)
             ymlp = _drop_path(rngs["dp2"], dp, ymlp)
