@@ -21,6 +21,52 @@ import jax.numpy as jnp
 BASELINE_IMG_PER_S = 5000.0  # BASELINE.json north-star target
 
 
+def bench_train(batch, dtype):
+    """Fine-tune step throughput (the train_and_validate.py hot loop)."""
+    from vision_transformer_cam_tpu import configs
+    from vision_transformer_cam_tpu.models import vit
+    from vision_transformer_cam_tpu.train.state import (create_train_state,
+                                                        make_optimizer)
+    from vision_transformer_cam_tpu.train.step import train_step
+
+    cfg = configs.vit_base_patch16_224_in21k(num_classes=20, has_logits=False)
+    cfg = cfg.replace(dtype=dtype, param_dtype=dtype)
+    if "--xla" not in sys.argv:
+        cfg = cfg.replace(attn_impl="pallas")
+    params = vit.init(cfg, jax.random.key(0))
+    tx, _ = make_optimizer(configs.OptimConfig(), global_batch_size=batch,
+                           steps_per_epoch=100)
+    state = create_train_state(params, tx)
+    images = jax.random.normal(jax.random.key(1),
+                               (batch, 224, 224, 3), jnp.float32)
+    labels = (jax.random.uniform(jax.random.key(2), (batch, 20)) < 0.15
+              ).astype(jnp.float32)
+    rng = jax.random.key(3)
+
+    def step(st):
+        return train_step(st, images, labels, rng, cfg, tx)
+
+    state, m = step(state)
+    _ = float(m["loss"])
+    state, m = step(state)
+    _ = float(m["loss"])
+    chunk, iters, best = 5, 3, float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            state, m = step(state)
+        _ = float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / chunk)
+
+    img_per_s = batch / best
+    print(json.dumps({
+        "metric": "vit_b16_train_step_throughput",
+        "value": round(img_per_s, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
+    }))
+
+
 def main():
     from vision_transformer_cam_tpu import configs
     from vision_transformer_cam_tpu.models import vit
@@ -32,11 +78,16 @@ def main():
     # by the f32/f64 goldens in tests/); --f32 measures the parity dtype.
     dtype = jnp.float32 if "--f32" in sys.argv else jnp.bfloat16
 
+    if "--train" in sys.argv:
+        return bench_train(batch, dtype)
+
     cfg = configs.vit_base_patch16_224_in21k(num_classes=20, has_logits=False)
     cfg = cfg.replace(dtype=dtype, param_dtype=dtype)
     # fused Pallas attention is the fastest measured config; --xla opts out
     if "--xla" not in sys.argv:
         cfg = cfg.replace(attn_impl="pallas")
+    if "--gelu-tanh" in sys.argv:
+        cfg = cfg.replace(gelu_approx=True)
     params = vit.init(cfg, jax.random.key(0))
     if "--int8" in sys.argv:
         from vision_transformer_cam_tpu.ops.quant import quantize_params

@@ -125,6 +125,26 @@ def test_full_model_pallas_rollout_matches_xla():
                                np.asarray(ref.rollout_row), atol=1e-5)
 
 
+def test_pallas_train_step_grads_match_xla():
+    """Training through the Pallas path (custom VJP, XLA-recompute backward)
+    must produce the same gradients as the pure-XLA path."""
+    from vision_transformer_cam_tpu.ops.losses import dual_head_loss
+
+    params = vit.init(TINY, jax.random.key(3))
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    y = jnp.zeros((2, 20)).at[:, 3].set(1.0)
+
+    def loss(p, cfg):
+        out = vit.forward(p, x, cfg, train=True, rng=jax.random.key(0))
+        return dual_head_loss(out.logits, out.head1_logits, y)[0]
+
+    g_xla = jax.grad(loss)(params, TINY)
+    g_pal = jax.grad(loss)(params, TINY.replace(attn_impl="pallas"))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-5), g_xla, g_pal)
+
+
 def test_pallas_path_falls_back_for_probs():
     """need_headmean forces the XLA path (full tensors requested)."""
     params = vit.init(TINY, jax.random.key(0))

@@ -64,6 +64,12 @@ class ViTCAMConfig:
 
     # --- implementation switches ---
     attn_impl: str = "xla"  # "xla" | "pallas"
+    # tanh-approx GELU is measurably cheaper on the VPU; exact erf is the
+    # parity default (torch nn.GELU default — vit_model.py:156)
+    gelu_approx: bool = False
+    # rematerialize each block in the backward pass (jax.checkpoint on the
+    # scan body) — trades ~1/3 more FLOPs for O(depth) less activation HBM
+    remat: bool = True
 
     @property
     def grid_size(self) -> int:

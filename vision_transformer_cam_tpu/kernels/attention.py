@@ -214,22 +214,79 @@ def masked_attention_fused(qkv, bg, *, num_heads: int, scale: float,
     return out, cls_row
 
 
+# ---------------------------------------------------------------------------
+# differentiable wrapper: Pallas forward, XLA-autodiff backward
+# ---------------------------------------------------------------------------
+
+def _xla_attention_core(qkv, bg, num_heads, scale, mask_value):
+    """Reference math of the fused kernel in plain jnp (for the VJP)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // num_heads
+    qkv_r = qkv.reshape(b, n, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv_r[0], qkv_r[1], qkv_r[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    pair = jnp.minimum(bg[:, :, None] + bg[:, None, :], 1.0)
+    s = s + (mask_value * pair.astype(jnp.float32))[:, None]
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(qkv.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+    cls_row = jnp.mean(p, axis=1)[:, 0, :].astype(qkv.dtype)
+    return out, cls_row
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_attention_diff(qkv, bg, num_heads, scale, mask_value):
+    """Differentiable fused attention: Pallas kernel forward, XLA-recompute
+    backward.  The bg indicator and cls row carry no gradient by construction
+    (both are consumed only through thresholds/top-k in the model — the same
+    a.e.-zero-derivative semantics as the reference's in-graph mask)."""
+    out, cls_row = masked_attention_fused(
+        qkv, bg, num_heads=num_heads, scale=scale, mask_value=mask_value,
+        interpret=jax.default_backend() != "tpu")
+    return out, cls_row
+
+
+def _fused_fwd(qkv, bg, num_heads, scale, mask_value):
+    res = fused_attention_diff(qkv, bg, num_heads, scale, mask_value)
+    return res, (qkv, bg)
+
+
+def _fused_bwd(num_heads, scale, mask_value, residuals, cotangents):
+    qkv, bg = residuals
+    _, vjp = jax.vjp(
+        lambda q: _xla_attention_core(q, bg, num_heads, scale, mask_value),
+        qkv)
+    (d_qkv,) = vjp(cotangents)
+    return d_qkv, jnp.zeros_like(bg)
+
+
+fused_attention_diff.defvjp(_fused_fwd, _fused_bwd)
+
+
 def attention_pallas(ap, x, bg, cfg, rngs, need_probs):
     """Drop-in for models.vit._attention_xla (same signature/returns) using
     the fused kernel.  Falls back to the XLA path when the caller needs the
     per-head probability tensors (predict/validate visualization) or dropout
     rngs (training — the kernel has no backward pass yet)."""
-    if need_probs == "perhead" or rngs:
+    needs_dropout = rngs and (cfg.attn_drop_ratio > 0 or cfg.drop_ratio > 0)
+    if need_probs == "perhead" or needs_dropout:
         from vision_transformer_cam_tpu.models.vit import _attention_xla
         return _attention_xla(ap, x, bg, cfg, rngs, need_probs)
     from vision_transformer_cam_tpu.models.vit import _linear
     b, n, c = x.shape
     qkv = _linear(x, ap["qkv"], cfg)
-    res = masked_attention_fused(
-        qkv, bg, num_heads=cfg.num_heads, scale=cfg.scale,
-        mask_value=cfg.mask_value, with_headmean=need_probs == "headmean",
-        interpret=jax.default_backend() != "tpu")
-    out, cls_row = res[0], res[1]
-    hm = res[2] if need_probs == "headmean" else None
+    if need_probs == "headmean":
+        # inference-only path (rollout/visualization): no VJP needed
+        out, cls_row, hm = masked_attention_fused(
+            qkv, bg, num_heads=cfg.num_heads, scale=cfg.scale,
+            mask_value=cfg.mask_value, with_headmean=True,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        out, cls_row = fused_attention_diff(qkv, bg, cfg.num_heads,
+                                            cfg.scale, cfg.mask_value)
+        hm = None
     out = _linear(out, ap["proj"], cfg)
     return out, cls_row.astype(cfg.dtype), hm, None

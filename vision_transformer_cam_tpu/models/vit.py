@@ -81,9 +81,9 @@ def _layer_norm(x, scale, bias, eps):
     return y * scale + bias
 
 
-def _gelu(x):
+def _gelu(x, approx=False):
     # torch nn.GELU default is the exact erf form.
-    return jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x, approximate=approx)
 
 
 def _dropout(rng, rate, x):
@@ -308,7 +308,7 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             o = _drop_path(rngs["dp1"], dp, o)
         tok = tok + o
         yn = _layer_norm(tok, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.ln_eps)
-        hmid = _gelu(_linear(yn, lp["mlp"]["fc1"], cfg))
+        hmid = _gelu(_linear(yn, lp["mlp"]["fc1"], cfg), cfg.gelu_approx)
         if use_rng:
             hmid = _dropout(rngs["mlp1"], cfg.drop_ratio, hmid)
         ymlp = _linear(hmid, lp["mlp"]["fc2"], cfg)
@@ -334,6 +334,11 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                 tok if need_blocks else jnp.zeros((), cfg.dtype))
         return (tok, bg, joint), outs
 
+    if train and cfg.remat:
+        # backward-pass memory: save only the scan carry, recompute the
+        # block internals (qkv, mlp hidden) — without this a ViT-B train
+        # step at batch 256 wants ~26 GB of residuals on a 16 GB chip
+        body = jax.checkpoint(body, prevent_cse=False)
     (tokens, _, joint), (cls_rows, hms, phs, blocks_out) = jax.lax.scan(
         body, (tokens, bg0, joint0), (params["blocks"], layer_idx, dpr))
 
