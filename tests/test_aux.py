@@ -80,3 +80,31 @@ def test_pos_embed_interpolation_on_load():
     block_means = new_grid.reshape(4, 2, 4, 2, 64).mean(axis=(1, 3))
     corr = np.corrcoef(block_means.ravel(), old_grid.ravel())[0, 1]
     assert corr > 0.95
+
+
+def test_distributed_helpers():
+    from vision_transformer_cam_tpu import parallel
+    assert parallel.get_world_size() == 8  # the virtual CPU mesh
+    assert parallel.get_rank() == 0 and parallel.is_main_process()
+    # reduce_value inside a shard_map body
+    from jax.sharding import PartitionSpec as P
+    mesh = parallel.make_mesh((-1,), ("data",))
+    x = jnp.arange(8.0)
+
+    def body(v):
+        return parallel.reduce_value(v, average=True)
+
+    from jax.experimental.shard_map import shard_map
+    out = shard_map(body, mesh=mesh, in_specs=P("data"), out_specs=P())(x)
+    assert float(out[0]) == pytest.approx(np.arange(8).mean())
+
+
+def test_same_seeds():
+    from vision_transformer_cam_tpu.utils import same_seeds
+    k1 = same_seeds(0)
+    a = np.random.rand(3)
+    k2 = same_seeds(0)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(k1)),
+                                  np.asarray(jax.random.key_data(k2)))

@@ -156,3 +156,20 @@ def test_pallas_path_falls_back_for_probs():
     np.testing.assert_allclose(
         np.asarray(got.attn_headmean[:, :, 0, :]),
         np.asarray(got.attn_cls_rows), atol=1e-6)
+
+
+def test_masked_attention_fused_long_seq():
+    """ViT-L@384 shape: N=577 (odd, non-128-aligned) through the v2 kernel."""
+    q, k, v, bg = _qkv(b=1, h=2, n=577, dh=8, seed=31)
+    b, h, n, dh = q.shape
+    pack = jnp.concatenate(
+        [t.transpose(0, 2, 1, 3).reshape(b, n, h * dh) for t in (q, k, v)],
+        axis=-1)
+    out, cls = ka.masked_attention_fused(pack, bg, num_heads=h, scale=0.25,
+                                         interpret=True)
+    want_out, want_cls = _oracle(q, k, v, bg, 0.25)
+    want_out = jnp.transpose(want_out, (0, 2, 1, 3)).reshape(b, n, h * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(want_cls),
+                               atol=1e-6)

@@ -15,9 +15,9 @@ twists, fused into one VMEM-resident kernel:
 Numerics match the XLA path: logits in f32, additive mask value (default
 -100) pre-softmax, softmax over the true N keys (padded keys get -1e9).
 
-Grid: one program per batch element; the 12 heads loop inside the program
-(statically unrolled), everything resident in VMEM
-(3 x H x Np x dh + S[Np, Np] f32 ~ 2 MB at ViT-B sizes).
+Grid: block_b batch elements per program (amortizes per-program overhead);
+the heads loop inside the program (statically unrolled), everything resident
+in VMEM (block_b x N x 4C bf16 + S[N, N] f32 ~ 5 MB at ViT-B sizes, bb=4).
 """
 
 from __future__ import annotations
@@ -129,75 +129,94 @@ def masked_attention(q, k, v, bg, *, scale: float, mask_value: float = -100.0,
 
 
 def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
-    """v2 kernel: consumes the fused qkv GEMM output [1, N, 3C] directly and
-    writes [1, N, C] — no host-side head transpose or seq padding; Mosaic
-    handles the non-128-aligned N internally."""
+    """v2 kernel: consumes the fused qkv GEMM output [BB, N, 3C] directly and
+    writes [BB, N, C] — no host-side head transpose or seq padding; Mosaic
+    handles the non-128-aligned N internally.  BB (block_b) batch elements
+    per program amortize per-program overhead."""
     scale, mask_value = kw["scale"], kw["mask_value"]
     h, dh = kw["num_heads"], kw["head_dim"]
-    n = qkv_ref.shape[-2]
+    qb_size = kw["q_block"]
+    bb, n, _ = qkv_ref.shape
     c = h * dh
-    bg = bg_ref[0, 0]                                     # [N] f32
-    pair = jnp.minimum(bg[:, None] + bg[None, :], 1.0) * mask_value
-
-    cls_acc = jnp.zeros((1, n), jnp.float32)
-    hm_acc = jnp.zeros((n, n), jnp.float32) if hm_ref else None
-    for i in range(h):
-        q = qkv_ref[0, :, i * dh:(i + 1) * dh]
-        k = qkv_ref[0, :, c + i * dh:c + (i + 1) * dh]
-        v = qkv_ref[0, :, 2 * c + i * dh:2 * c + (i + 1) * dh]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [N, N]
-        s = s + pair
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        cls_acc = cls_acc + p[0:1, :]
-        if hm_ref:
-            hm_acc = hm_acc + p
-        o_ref[0, :, i * dh:(i + 1) * dh] = jnp.dot(
-            p.astype(v.dtype), v,
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
-    cls_ref[0, 0] = (cls_acc[0] / h).astype(cls_ref.dtype)
-    if hm_ref:
-        hm_ref[0][0] = (hm_acc / h).astype(hm_ref[0].dtype)
+    # static query-block ranges (last block may be short) — keeps the live
+    # S/P buffers at [QB, N] so VMEM stays flat as N grows (ViT-L@384 N=577
+    # overflows the 16 MB scoped limit with full [N, N] accumulators)
+    q_blocks = [(s0, min(qb_size, n - s0)) for s0 in range(0, n, qb_size)]
+    for b in range(bb):
+        bg = bg_ref[b, 0]                                 # [N] f32
+        for (q0, qn) in q_blocks:
+            # slice from the ref, not the value — Mosaic lowers value slices
+            # of 1-D vectors to (unsupported) gathers
+            bg_q = bg_ref[b, 0, q0:q0 + qn]
+            pair = jnp.minimum(bg_q[:, None] + bg[None, :],
+                               1.0) * mask_value          # [QB, N]
+            hm_acc = jnp.zeros((qn, n), jnp.float32) if hm_ref else None
+            cls_acc = jnp.zeros((1, n), jnp.float32) if q0 == 0 else None
+            for i in range(h):
+                q = qkv_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh]
+                k = qkv_ref[b, :, c + i * dh:c + (i + 1) * dh]
+                v = qkv_ref[b, :, 2 * c + i * dh:2 * c + (i + 1) * dh]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # [QB, N]
+                s = s + pair
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)
+                if q0 == 0:
+                    cls_acc = cls_acc + p[0:1, :]
+                if hm_ref:
+                    hm_acc = hm_acc + p
+                o_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh] = jnp.dot(
+                    p.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            if q0 == 0:
+                cls_ref[b, 0] = (cls_acc[0] / h).astype(cls_ref.dtype)
+            if hm_ref:
+                hm_ref[0][b, q0:q0 + qn] = (hm_acc / h).astype(
+                    hm_ref[0].dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
                                              "mask_value", "with_headmean",
-                                             "interpret"))
+                                             "interpret", "block_b"))
 def masked_attention_fused(qkv, bg, *, num_heads: int, scale: float,
                            mask_value: float = -100.0,
                            with_headmean: bool = False,
-                           interpret: bool = False):
+                           interpret: bool = False, block_b: int = 1):
+    # block_b > 1 measured slightly slower at ViT-B sizes (3279 vs 3365
+    # img/s end-to-end); kept as a tuning knob for other shapes.
     """qkv: [B, N, 3C] (the fused qkv projection, layout [q|k|v] with heads
     contiguous inside each); bg: [B, N].  Returns (out [B, N, C],
     cls_row [B, N][, headmean [B, N, N]])."""
     b, n, c3 = qkv.shape
     c = c3 // 3
     dh = c // num_heads
+    while b % block_b:
+        block_b //= 2
+    bb = max(block_b, 1)
     bgk = bg.astype(jnp.float32)[:, None, :]              # [B, 1, N]
 
     kernel = functools.partial(_attn_kernel_fused, scale=scale,
                                mask_value=mask_value, num_heads=num_heads,
-                               head_dim=dh)
-    qkv_spec = pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0),
+                               head_dim=dh, q_block=min(n, 512))
+    qkv_spec = pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+    o_spec = pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+    row_spec = pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [o_spec, row_spec]
     out_shape = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
                  jax.ShapeDtypeStruct((b, 1, n), qkv.dtype)]
     if with_headmean:
-        out_specs.append(pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+        out_specs.append(pl.BlockSpec((bb, n, n), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, n, n), qkv.dtype))
 
     res = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[qkv_spec, row_spec],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),

@@ -5,5 +5,6 @@ Replaces the reference's NCCL/DDP communication layer
 """
 
 from vision_transformer_cam_tpu.parallel.mesh import (  # noqa: F401
-    data_sharding, distributed_init, make_mesh, param_pspecs, param_shardings,
-    process_local_slice, replicated, shard_batch, shard_params)
+    data_sharding, distributed_init, get_rank, get_world_size,
+    is_main_process, make_mesh, param_pspecs, param_shardings,
+    process_local_slice, reduce_value, replicated, shard_batch, shard_params)

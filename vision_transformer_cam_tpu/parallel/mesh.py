@@ -115,6 +115,32 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+# --- distributed_utils.py:31-70 API parity (SPMD semantics) -----------------
+
+def get_world_size() -> int:
+    """distributed_utils.py:37-40 — device count across all hosts."""
+    return jax.device_count()
+
+
+def get_rank() -> int:
+    """distributed_utils.py:43-46 — process index (host rank; per-device
+    ranks don't exist in SPMD)."""
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """distributed_utils.py:49-50."""
+    return jax.process_index() == 0
+
+
+def reduce_value(value, average: bool = True, axis_name: str = "data"):
+    """distributed_utils.py:60-70 — all-reduce inside a pmap/shard_map body.
+    Under pjit/GSPMD this is never needed explicitly (sharding propagation
+    inserts the collective); provided for hand-rolled shard_map code."""
+    return jax.lax.pmean(value, axis_name) if average \
+        else jax.lax.psum(value, axis_name)
+
+
 def process_local_slice(n: int, batch_size: int):
     """[start, stop) of the global index range this process loads — the
     per-host sharded replacement for DistributedSampler rank slicing."""

@@ -14,3 +14,19 @@ def honor_jax_platforms_env() -> None:
     if want:
         import jax
         jax.config.update("jax_platforms", want)
+
+
+def same_seeds(seed: int):
+    """Determinism entry (same_seeds, duplicated at train_and_validate.py:
+    23-31 / predict.py:51-59 / validate.py:21-29).  Seeds the host-side
+    generators and returns the jax PRNG key that replaces torch/cuda seeding
+    — XLA programs are deterministic given the key, so there is no analog of
+    the reference's cudnn.deterministic toggle to set."""
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    import jax
+    return jax.random.key(seed)
