@@ -93,6 +93,8 @@ def main():
     # erf by ~1e-3 — below bf16 rounding noise (f32 goldens pin exact math)
     if "--gelu-exact" not in sys.argv:
         cfg = cfg.replace(gelu_approx=True)
+    if "--stable-softmax" not in sys.argv:
+        cfg = cfg.replace(softmax_clamp=True)
     params = vit.init(cfg, jax.random.key(0))
     if "--int8" in sys.argv:
         from vision_transformer_cam_tpu.ops.quant import quantize_params

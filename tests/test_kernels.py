@@ -173,3 +173,19 @@ def test_masked_attention_fused_long_seq():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(cls), np.asarray(want_cls),
                                atol=1e-6)
+
+
+def test_clamp_softmax_matches_when_in_range():
+    """clamp_softmax is bit-comparable to the stable softmax whenever logits
+    stay within +-80 (always true for trained ViTs at scale 1/8)."""
+    q, k, v, bg = _qkv(b=2, h=4, n=37, dh=16, seed=41)
+    b, h, n, dh = q.shape
+    pack = jnp.concatenate(
+        [t.transpose(0, 2, 1, 3).reshape(b, n, h * dh) for t in (q, k, v)],
+        axis=-1)
+    a = ka.masked_attention_fused(pack, bg, num_heads=h, scale=0.25,
+                                  interpret=True)
+    c = ka.masked_attention_fused(pack, bg, num_heads=h, scale=0.25,
+                                  clamp_softmax=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(c[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(c[1]), atol=1e-6)

@@ -70,6 +70,9 @@ class ViTCAMConfig:
     # rematerialize each block in the backward pass (jax.checkpoint on the
     # scan body) — trades ~1/3 more FLOPs for O(depth) less activation HBM
     remat: bool = True
+    # serving mode: clamp softmax logits to +-80 instead of the row-max
+    # subtraction (saves a reduce pass per head; exact while |logit| < 80)
+    softmax_clamp: bool = False
 
     @property
     def grid_size(self) -> int:

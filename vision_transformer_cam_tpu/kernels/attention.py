@@ -135,7 +135,7 @@ def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
     per program amortize per-program overhead."""
     scale, mask_value = kw["scale"], kw["mask_value"]
     h, dh = kw["num_heads"], kw["head_dim"]
-    qb_size = kw["q_block"]
+    qb_size, clamp = kw["q_block"], kw["clamp_softmax"]
     bb, n, _ = qkv_ref.shape
     c = h * dh
     # static query-block ranges (last block may be short) — keeps the live
@@ -143,13 +143,15 @@ def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
     # overflows the 16 MB scoped limit with full [N, N] accumulators)
     q_blocks = [(s0, min(qb_size, n - s0)) for s0 in range(0, n, qb_size)]
     for b in range(bb):
-        bg = bg_ref[b, 0]                                 # [N] f32
+        # The reference's symmetric pair mask -100*min(bg_q + bg_k, 1)
+        # (vit_model.py:348-361) is softmax-equivalent to the rank-1 form
+        # (1 - bg_q) * (-100 * bg_k): a bg query's pair row is the constant
+        # -100 (row-constant shifts cancel in softmax — bg queries attend
+        # normally), while fg queries mask bg keys.  P is identical; the
+        # min/add [QB, N] pair construction becomes one outer product.
+        key_mask = bg_ref[b, 0] * mask_value              # [N] f32
         for (q0, qn) in q_blocks:
-            # slice from the ref, not the value — Mosaic lowers value slices
-            # of 1-D vectors to (unsupported) gathers
-            bg_q = bg_ref[b, 0, q0:q0 + qn]
-            pair = jnp.minimum(bg_q[:, None] + bg[None, :],
-                               1.0) * mask_value          # [QB, N]
+            fg_q = 1.0 - bg_ref[b, 0, q0:q0 + qn]         # [QB] f32
             hm_acc = jnp.zeros((qn, n), jnp.float32) if hm_ref else None
             cls_acc = jnp.zeros((1, n), jnp.float32) if q0 == 0 else None
             for i in range(h):
@@ -159,17 +161,31 @@ def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * scale  # [QB, N]
-                s = s + pair
-                s = s - jnp.max(s, axis=-1, keepdims=True)
+                s = s + fg_q[:, None] * key_mask[None, :]
+                if clamp:
+                    # serving mode: upper-clamp instead of the row-max
+                    # reduce+subtract (saves ~1.2 ms/layer); exact whenever
+                    # logits < 80, which trained ViTs never exceed (masked
+                    # keys underflowing exp to 0 is the desired behavior)
+                    s = jnp.minimum(s, 80.0)
+                else:
+                    s = s - jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s)
-                p = e / jnp.sum(e, axis=-1, keepdims=True)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
                 if q0 == 0:
-                    cls_acc = cls_acc + p[0:1, :]
+                    cls_acc = cls_acc + e[0:1, :] / denom[0:1]
                 if hm_ref:
+                    p = e / denom
                     hm_acc = hm_acc + p
-                o_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh] = jnp.dot(
-                    p.astype(v.dtype), v,
-                    preferred_element_type=jnp.float32).astype(o_ref.dtype)
+                    ov = jnp.dot(p.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32)
+                else:
+                    # fold the softmax division into the [QB, dh] output
+                    # instead of the [QB, N] probabilities
+                    ov = jnp.dot(e.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32) / denom
+                o_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh] = \
+                    ov.astype(o_ref.dtype)
             if q0 == 0:
                 cls_ref[b, 0] = (cls_acc[0] / h).astype(cls_ref.dtype)
             if hm_ref:
@@ -179,11 +195,13 @@ def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
                                              "mask_value", "with_headmean",
-                                             "interpret", "block_b"))
+                                             "interpret", "block_b",
+                                             "clamp_softmax"))
 def masked_attention_fused(qkv, bg, *, num_heads: int, scale: float,
                            mask_value: float = -100.0,
                            with_headmean: bool = False,
-                           interpret: bool = False, block_b: int = 1):
+                           interpret: bool = False, block_b: int = 1,
+                           clamp_softmax: bool = False):
     # block_b > 1 measured slightly slower at ViT-B sizes (3279 vs 3365
     # img/s end-to-end); kept as a tuning knob for other shapes.
     """qkv: [B, N, 3C] (the fused qkv projection, layout [q|k|v] with heads
@@ -199,7 +217,8 @@ def masked_attention_fused(qkv, bg, *, num_heads: int, scale: float,
 
     kernel = functools.partial(_attn_kernel_fused, scale=scale,
                                mask_value=mask_value, num_heads=num_heads,
-                               head_dim=dh, q_block=min(n, 512))
+                               head_dim=dh, q_block=min(n, 512),
+                               clamp_softmax=clamp_softmax)
     qkv_spec = pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0),
@@ -256,24 +275,28 @@ def _xla_attention_core(qkv, bg, num_heads, scale, mask_value):
     return out, cls_row
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def fused_attention_diff(qkv, bg, num_heads, scale, mask_value):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_attention_diff(qkv, bg, num_heads, scale, mask_value,
+                         clamp_softmax=False):
     """Differentiable fused attention: Pallas kernel forward, XLA-recompute
     backward.  The bg indicator and cls row carry no gradient by construction
     (both are consumed only through thresholds/top-k in the model — the same
     a.e.-zero-derivative semantics as the reference's in-graph mask)."""
     out, cls_row = masked_attention_fused(
         qkv, bg, num_heads=num_heads, scale=scale, mask_value=mask_value,
+        clamp_softmax=clamp_softmax,
         interpret=jax.default_backend() != "tpu")
     return out, cls_row
 
 
-def _fused_fwd(qkv, bg, num_heads, scale, mask_value):
-    res = fused_attention_diff(qkv, bg, num_heads, scale, mask_value)
+def _fused_fwd(qkv, bg, num_heads, scale, mask_value, clamp_softmax=False):
+    res = fused_attention_diff(qkv, bg, num_heads, scale, mask_value,
+                               clamp_softmax)
     return res, (qkv, bg)
 
 
-def _fused_bwd(num_heads, scale, mask_value, residuals, cotangents):
+def _fused_bwd(num_heads, scale, mask_value, clamp_softmax, residuals,
+               cotangents):
     qkv, bg = residuals
     _, vjp = jax.vjp(
         lambda q: _xla_attention_core(q, bg, num_heads, scale, mask_value),
@@ -302,10 +325,12 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs):
         out, cls_row, hm = masked_attention_fused(
             qkv, bg, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, with_headmean=True,
+            clamp_softmax=cfg.softmax_clamp,
             interpret=jax.default_backend() != "tpu")
     else:
         out, cls_row = fused_attention_diff(qkv, bg, cfg.num_heads,
-                                            cfg.scale, cfg.mask_value)
+                                            cfg.scale, cfg.mask_value,
+                                            cfg.softmax_clamp)
         hm = None
     out = _linear(out, ap["proj"], cfg)
     return out, cls_row.astype(cfg.dtype), hm, None
