@@ -87,7 +87,12 @@ def val(args) -> dict:
 
     confmat = ConfusionMatrix(args.num_classes)
     all_ap, n_done, t0 = [], 0, time.time()
-    for batch in loader:
+    try:
+        from tqdm import tqdm
+        loader_iter = tqdm(loader, file=sys.stdout)
+    except ImportError:
+        loader_iter = loader
+    for batch in loader_iter:
         out = vit.apply(params, batch["image"], cfg)
         segs = batch["seg_label"] if isinstance(batch["seg_label"], list) \
             else list(batch["seg_label"])
@@ -101,8 +106,13 @@ def val(args) -> dict:
         if "label" in batch:
             all_ap += compute_mAP(batch["label"], probs)
         n_done += len(batch["name"])
-        print(f"[val] {n_done}/{len(ds)} mAP {np.mean(all_ap) if all_ap else float('nan'):.4f} "
-              f"({(time.time()-t0)/n_done:.3f}s/img)", flush=True)
+        desc = (f"[val] {n_done}/{len(ds)} "
+                f"mAP {np.mean(all_ap) if all_ap else float('nan'):.4f} "
+                f"({(time.time()-t0)/n_done:.3f}s/img)")
+        if hasattr(loader_iter, "set_description"):
+            loader_iter.set_description(desc)
+        else:
+            print(desc, flush=True)
         if args.limit and n_done >= args.limit:
             break
 

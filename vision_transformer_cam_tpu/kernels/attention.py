@@ -128,14 +128,33 @@ def masked_attention(q, k, v, bg, *, scale: float, mask_value: float = -100.0,
     return (out, cls_row, hm) if with_headmean else (out, cls_row)
 
 
-def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
+def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
     """v2 kernel: consumes the fused qkv GEMM output [BB, N, 3C] directly and
     writes [BB, N, C] — no host-side head transpose or seq padding; Mosaic
     handles the non-128-aligned N internally.  BB (block_b) batch elements
-    per program amortize per-program overhead."""
+    per program amortize per-program overhead.
+
+    Optional fusions (flags in kw):
+      with_headmean — also emit the head-mean probability matrix;
+      with_rollout  — consume the rollout joint J_{l-1} and emit
+                      J_l = (hm @ J + J) / 2, the row-normalized (A+I)
+                      product (rows of hm sum to 1, so the (A+I) row sum is
+                      exactly 2) — the head-mean matrix never leaves VMEM.
+    """
     scale, mask_value = kw["scale"], kw["mask_value"]
     h, dh = kw["num_heads"], kw["head_dim"]
     qb_size, clamp = kw["q_block"], kw["clamp_softmax"]
+    if kw["with_rollout"]:
+        joint_ref, o_ref, cls_ref, newj_ref = rest
+        hm_ref = ()
+    elif kw["with_headmean"]:
+        joint_ref = newj_ref = None
+        o_ref, cls_ref, hm = rest
+        hm_ref = (hm,)
+    else:
+        joint_ref = newj_ref = None
+        o_ref, cls_ref = rest
+        hm_ref = ()
     bb, n, _ = qkv_ref.shape
     c = h * dh
     # static query-block ranges (last block may be short) — keeps the live
@@ -150,9 +169,10 @@ def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
         # normally), while fg queries mask bg keys.  P is identical; the
         # min/add [QB, N] pair construction becomes one outer product.
         key_mask = bg_ref[b, 0] * mask_value              # [N] f32
+        need_hm = bool(hm_ref) or joint_ref is not None
         for (q0, qn) in q_blocks:
             fg_q = 1.0 - bg_ref[b, 0, q0:q0 + qn]         # [QB] f32
-            hm_acc = jnp.zeros((qn, n), jnp.float32) if hm_ref else None
+            hm_acc = jnp.zeros((qn, n), jnp.float32) if need_hm else None
             cls_acc = jnp.zeros((1, n), jnp.float32) if q0 == 0 else None
             for i in range(h):
                 q = qkv_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh]
@@ -174,7 +194,7 @@ def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
                 denom = jnp.sum(e, axis=-1, keepdims=True)
                 if q0 == 0:
                     cls_acc = cls_acc + e[0:1, :] / denom[0:1]
-                if hm_ref:
+                if need_hm:
                     p = e / denom
                     hm_acc = hm_acc + p
                     ov = jnp.dot(p.astype(v.dtype), v,
@@ -191,14 +211,23 @@ def _attn_kernel_fused(qkv_ref, bg_ref, o_ref, cls_ref, *hm_ref, **kw):
             if hm_ref:
                 hm_ref[0][b, q0:q0 + qn] = (hm_acc / h).astype(
                     hm_ref[0].dtype)
+            if joint_ref is not None:
+                # J_l rows for this query block: (hm @ J + J) / 2
+                jold = joint_ref[b]                       # [N, N]
+                jrows = joint_ref[b, q0:q0 + qn]
+                prod = jnp.dot((hm_acc / h).astype(jold.dtype), jold,
+                               preferred_element_type=jnp.float32)
+                newj_ref[b, q0:q0 + qn] = (
+                    0.5 * (prod + jrows.astype(jnp.float32))
+                ).astype(newj_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
                                              "mask_value", "with_headmean",
                                              "interpret", "block_b",
                                              "clamp_softmax"))
-def masked_attention_fused(qkv, bg, *, num_heads: int, scale: float,
-                           mask_value: float = -100.0,
+def masked_attention_fused(qkv, bg, joint=None, *, num_heads: int,
+                           scale: float, mask_value: float = -100.0,
                            with_headmean: bool = False,
                            interpret: bool = False, block_b: int = 1,
                            clamp_softmax: bool = False):
@@ -206,7 +235,9 @@ def masked_attention_fused(qkv, bg, *, num_heads: int, scale: float,
     # img/s end-to-end); kept as a tuning knob for other shapes.
     """qkv: [B, N, 3C] (the fused qkv projection, layout [q|k|v] with heads
     contiguous inside each); bg: [B, N].  Returns (out [B, N, C],
-    cls_row [B, N][, headmean [B, N, N]])."""
+    cls_row [B, N][, headmean or new_joint [B, N, N]]).  Passing `joint`
+    (the rollout product J_{l-1}) fuses the rollout update in-kernel and
+    returns J_l instead of the head-mean matrix."""
     b, n, c3 = qkv.shape
     c = c3 // 3
     dh = c // num_heads
@@ -218,25 +249,35 @@ def masked_attention_fused(qkv, bg, *, num_heads: int, scale: float,
     kernel = functools.partial(_attn_kernel_fused, scale=scale,
                                mask_value=mask_value, num_heads=num_heads,
                                head_dim=dh, q_block=min(n, 512),
-                               clamp_softmax=clamp_softmax)
+                               clamp_softmax=clamp_softmax,
+                               with_rollout=joint is not None,
+                               with_headmean=with_headmean)
     qkv_spec = pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    nn_spec = pl.BlockSpec((bb, n, n), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec, row_spec]
+    inputs = [qkv, bgk]
     out_specs = [o_spec, row_spec]
     out_shape = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
                  jax.ShapeDtypeStruct((b, 1, n), qkv.dtype)]
-    if with_headmean:
-        out_specs.append(pl.BlockSpec((bb, n, n), lambda i: (i, 0, 0),
-                                      memory_space=pltpu.VMEM))
+    if joint is not None:
+        in_specs.append(nn_spec)
+        inputs.append(joint)
+        out_specs.append(nn_spec)
+        out_shape.append(jax.ShapeDtypeStruct((b, n, n), joint.dtype))
+    elif with_headmean:
+        out_specs.append(nn_spec)
         out_shape.append(jax.ShapeDtypeStruct((b, n, n), qkv.dtype))
 
     res = pl.pallas_call(
         kernel,
         grid=(b // bb,),
-        in_specs=[qkv_spec, row_spec],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
@@ -245,9 +286,9 @@ def masked_attention_fused(qkv, bg, *, num_heads: int, scale: float,
             transcendentals=b * num_heads * n * n,
         ),
         interpret=interpret,
-    )(qkv, bgk)
+    )(*inputs)
     out, cls_row = res[0], res[1][:, 0, :]
-    if with_headmean:
+    if joint is not None or with_headmean:
         return out, cls_row, res[2]
     return out, cls_row
 
@@ -308,7 +349,7 @@ def _fused_bwd(num_heads, scale, mask_value, clamp_softmax, residuals,
 fused_attention_diff.defvjp(_fused_fwd, _fused_bwd)
 
 
-def attention_pallas(ap, x, bg, cfg, rngs, need_probs):
+def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None):
     """Drop-in for models.vit._attention_xla (same signature/returns) using
     the fused kernel.  Falls back to the XLA path when the caller needs the
     per-head probability tensors (predict/validate visualization) or dropout
@@ -320,8 +361,16 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs):
     from vision_transformer_cam_tpu.models.vit import _linear
     b, n, c = x.shape
     qkv = _linear(x, ap["qkv"], cfg)
-    if need_probs == "headmean":
-        # inference-only path (rollout/visualization): no VJP needed
+    newj = None
+    if joint is not None:
+        # in-kernel rollout update: headmean never leaves VMEM
+        out, cls_row, newj = masked_attention_fused(
+            qkv, bg, joint, num_heads=cfg.num_heads, scale=cfg.scale,
+            mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
+            interpret=jax.default_backend() != "tpu")
+        hm = None
+    elif need_probs == "headmean":
+        # visualization path: emit the head-mean matrix
         out, cls_row, hm = masked_attention_fused(
             qkv, bg, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, with_headmean=True,
@@ -333,4 +382,4 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs):
                                             cfg.softmax_clamp)
         hm = None
     out = _linear(out, ap["proj"], cfg)
-    return out, cls_row.astype(cfg.dtype), hm, None
+    return out, cls_row.astype(cfg.dtype), hm, None, newj

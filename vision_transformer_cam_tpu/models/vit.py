@@ -202,7 +202,8 @@ def patch_embed(params, x, cfg: ViTCAMConfig):
     return _linear(x, params, cfg)
 
 
-def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs):
+def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs,
+                   joint=None):
     """Reference-shaped attention (vit_model.py:103-140), XLA path.
 
     bg: [B, N] float {0,1} background indicator (cls position always 0);
@@ -233,7 +234,7 @@ def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs):
         out = _dropout(rngs.get("proj"), cfg.drop_ratio, out)
     ph = probs if need_probs == "perhead" else None
     hm = headmean if need_probs else None
-    return out, cls_row, hm, ph
+    return out, cls_row, hm, ph, None
 
 
 def _mask_from_cls_row(cls_row, cfg: ViTCAMConfig):
@@ -302,8 +303,12 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         else:
             rngs = None
         xn = _layer_norm(tok, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.ln_eps)
-        o, cls_row, hm, ph = attn_impl(lp["attn"], xn, bg, cfg, rngs,
-                                       need_probs)
+        # kernel-fused rollout only when the head-mean matrices aren't also
+        # being collected (the kernel emits one [N,N] output per call)
+        fuse_rollout = need_rollout and not (need_headmean or need_perhead)
+        o, cls_row, hm, ph, newj = attn_impl(
+            lp["attn"], xn, bg, cfg, rngs, need_probs,
+            joint=joint if fuse_rollout else None)
         if use_rng:
             o = _drop_path(rngs["dp1"], dp, o)
         tok = tok + o
@@ -323,10 +328,13 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         bg = jnp.where(i >= cfg.mask_from, new_bg, bg)
 
         if need_rollout:
-            aug = hm + jnp.eye(n, dtype=hm.dtype)
-            aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
-            joint = jnp.einsum("bij,bjk->bik", aug, joint,
-                               preferred_element_type=cfg.dtype)
+            if newj is not None:      # kernel-fused rollout update
+                joint = newj
+            else:
+                aug = hm + jnp.eye(n, dtype=hm.dtype)
+                aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
+                joint = jnp.einsum("bij,bjk->bik", aug, joint,
+                                   preferred_element_type=cfg.dtype)
 
         outs = (cls_row,
                 hm if need_headmean or need_perhead else jnp.zeros((), cfg.dtype),
