@@ -97,8 +97,15 @@ def main():
         cfg = cfg.replace(softmax_clamp=True)
     params = vit.init(cfg, jax.random.key(0))
     if "--int8" in sys.argv:
-        from vision_transformer_cam_tpu.ops.quant import quantize_params
-        params = quantize_params(params)
+        from vision_transformer_cam_tpu.ops.quant import (
+            calibrate_act_scales, quantize_params)
+        scales = None
+        if "--int8-dynamic" not in sys.argv:
+            calib = jax.random.normal(
+                jax.random.key(7), (8, cfg.img_size, cfg.img_size, 3),
+                jnp.float32)
+            scales = calibrate_act_scales(params, cfg, calib)
+        params = quantize_params(params, act_scales=scales)
 
     @jax.jit
     def cam_extract(params, images):

@@ -68,3 +68,23 @@ def test_quantized_model_forward_close():
     # CAM machinery still runs under quantization
     out = vit.apply(qparams, x, TINY, need_rollout=True)
     assert np.isfinite(np.asarray(out.rollout_row)).all()
+
+
+def test_static_calibrated_quantization():
+    """Static activation scales: same accuracy class as dynamic, no runtime
+    absmax reduction."""
+    params = vit.init(TINY, jax.random.key(0))
+    rng = np.random.default_rng(8)
+    calib = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    scales = quant.calibrate_act_scales(params, TINY, calib)
+    assert scales["blocks"]["qkv"].shape == (TINY.depth,)
+    assert (np.asarray(scales["blocks"]["fc2"]) > 0).all()
+    qparams = quant.quantize_params(params, act_scales=scales)
+    assert "act_scale" in qparams["blocks"]["mlp"]["fc1"]
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ref = vit.apply(params, x, TINY)
+    got = vit.apply(qparams, x, TINY)
+    a = np.asarray(ref.logits).ravel()
+    b = np.asarray(got.logits).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99

@@ -34,8 +34,15 @@ def qlinear(x, qp, bias=None, out_dtype=jnp.bfloat16):
     x: [..., in] any float dtype; qp: quantize_weight output (supports a
     leading stacked-layer axis on kernel_q/scale when x carries no such
     axis — the lax.scan per-layer slice case is handled by the caller).
+    Activation scale: static (qp['act_scale'], from calibrate_act_scales)
+    when present — no reduction pass at serving time; dynamic per-tensor
+    absmax otherwise.
     """
-    sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+    if "act_scale" in qp:
+        sx = qp["act_scale"]
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))),
+                         1e-8) / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
                   ).astype(jnp.int8)
     acc = jax.lax.dot_general(
@@ -52,20 +59,102 @@ def qlinear(x, qp, bias=None, out_dtype=jnp.bfloat16):
 _QUANT_KEYS = ("qkv", "proj", "fc1", "fc2")
 
 
-def quantize_params(params):
+def quantize_params(params, act_scales=None):
     """Return a copy of the model pytree with the per-block GEMM kernels and
     the patch-embed kernel replaced by int8 dicts (models/vit._linear
-    dispatches on the 'kernel_q' key)."""
+    dispatches on the 'kernel_q' key).  `act_scales` (from
+    calibrate_act_scales) attaches static activation scales — the serving
+    path then needs no runtime absmax reduction."""
     import copy
     out = copy.deepcopy(jax.tree.map(lambda x: x, params))
 
-    def q(node):
-        return dict(quantize_weight(node["kernel"]), bias=node["bias"])
+    def q(node, scale=None):
+        d = dict(quantize_weight(node["kernel"]), bias=node["bias"])
+        if scale is not None:
+            d["act_scale"] = jnp.asarray(scale, jnp.float32)
+        return d
 
-    out["patch_embed"] = q(params["patch_embed"])
+    a = act_scales or {}
+    out["patch_embed"] = q(params["patch_embed"], a.get("patch_embed"))
     blocks = params["blocks"]
-    out["blocks"]["attn"]["qkv"] = q(blocks["attn"]["qkv"])
-    out["blocks"]["attn"]["proj"] = q(blocks["attn"]["proj"])
-    out["blocks"]["mlp"]["fc1"] = q(blocks["mlp"]["fc1"])
-    out["blocks"]["mlp"]["fc2"] = q(blocks["mlp"]["fc2"])
+    ab = a.get("blocks", {})
+    out["blocks"]["attn"]["qkv"] = q(blocks["attn"]["qkv"],
+                                     ab.get("qkv"))
+    out["blocks"]["attn"]["proj"] = q(blocks["attn"]["proj"],
+                                      ab.get("proj"))
+    out["blocks"]["mlp"]["fc1"] = q(blocks["mlp"]["fc1"], ab.get("fc1"))
+    out["blocks"]["mlp"]["fc2"] = q(blocks["mlp"]["fc2"], ab.get("fc2"))
     return out
+
+
+def calibrate_act_scales(params, cfg, images, margin: float = 1.0):
+    """Run one float forward over a calibration batch recording the absmax of
+    every quantized GEMM's input; returns the act_scales tree for
+    quantize_params (scale = absmax * margin / 127)."""
+    from vision_transformer_cam_tpu.models import vit as m
+
+    x = images.astype(cfg.dtype)
+    tokens = m.patch_embed(params["patch_embed"], x, cfg)
+    s_patch = _absmax_of_patch_input(x, cfg)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(cfg.dtype),
+                           (b, 1, cfg.embed_dim))
+    tokens = jnp.concatenate([cls, tokens], axis=1) \
+        + params["pos_embed"].astype(cfg.dtype)
+
+    bg = jnp.zeros((b, cfg.seq_len), cfg.dtype)
+    sc = {"qkv": [], "proj": [], "fc1": [], "fc2": []}
+    for i in range(cfg.depth):
+        lp = jax.tree.map(lambda a: a[i], params["blocks"])
+        xn = m._layer_norm(tokens, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                           cfg.ln_eps)
+        sc["qkv"].append(_absmax(xn))
+        o, cls_row, _, _, _ = m._attention_xla(lp["attn"], xn, bg, cfg,
+                                               None, None)
+        # proj input absmax: recompute the pre-proj tensor
+        sc["proj"].append(_absmax(_pre_proj(lp["attn"], xn, bg, cfg)))
+        tokens = tokens + o
+        yn = m._layer_norm(tokens, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                           cfg.ln_eps)
+        sc["fc1"].append(_absmax(yn))
+        hmid = m._gelu(jnp.dot(yn, lp["mlp"]["fc1"]["kernel"],
+                               preferred_element_type=cfg.dtype)
+                       + lp["mlp"]["fc1"]["bias"], cfg.gelu_approx)
+        sc["fc2"].append(_absmax(hmid))
+        tokens = tokens + jnp.dot(hmid, lp["mlp"]["fc2"]["kernel"],
+                                  preferred_element_type=cfg.dtype) \
+            + lp["mlp"]["fc2"]["bias"]
+        if i >= cfg.mask_from:  # mask recompute schedule (vit_model.py:325)
+            _, bg = m._mask_from_cls_row(cls_row, cfg)
+
+    def to_scale(v):
+        return float(v) * margin / 127.0
+
+    return {"patch_embed": to_scale(s_patch),
+            "blocks": {k: jnp.asarray([to_scale(v) for v in sc[k]],
+                                      jnp.float32) for k in sc}}
+
+
+def _absmax(x):
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
+def _absmax_of_patch_input(x, cfg):
+    return _absmax(x)
+
+
+def _pre_proj(ap, x, bg, cfg):
+    """Recompute attention output before the proj GEMM (calibration only)."""
+    b, n, c = x.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+    qkv = jnp.dot(x, ap["qkv"]["kernel"],
+                  preferred_element_type=cfg.dtype) + ap["qkv"]["bias"]
+    qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=cfg.dtype) * cfg.scale
+    pair = jnp.minimum(bg[:, :, None] + bg[:, None, :], 1.0)
+    s = s + (cfg.mask_value * pair)[:, None, :, :]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=cfg.dtype)
+    return o.transpose(0, 2, 1, 3).reshape(b, n, c)
