@@ -170,3 +170,16 @@ def test_validate_cli_pallas_impl(voc_tree, tmp_path, tiny_zoo, monkeypatch):
                      "--batch_size", "4", "--attn_impl", "pallas",
                      "--seg_pred_dir", str(tmp_path / "sp")])
     assert np.isfinite(res["mIoU"])
+
+
+def test_validate_cli_data_parallel(voc_tree, tmp_path, tiny_zoo,
+                                    monkeypatch):
+    """--data_parallel shards each batch over the 8-device CPU mesh."""
+    from vision_transformer_cam_tpu.cli import validate as vcli
+    monkeypatch.chdir(tmp_path)
+    res = vcli.main(["--model_name", tiny_zoo,
+                     "--dataset_path", str(voc_tree),
+                     "--val_img_name_path", str(voc_tree / "split.txt"),
+                     "--batch_size", "4", "--data_parallel",
+                     "--seg_pred_dir", str(tmp_path / "sp2")])
+    assert np.isfinite(res["mIoU"])

@@ -169,3 +169,28 @@ def test_dryrun_multichip_entrypoints():
     fn, args = g.entry()
     jax.eval_shape(fn, *args)  # traces without running the full model
     g.dryrun_multichip(8)
+
+
+def test_evaluate_handles_partial_tail_batch():
+    """Val-set sizes rarely divide the mesh: the tail batch must still run
+    (unsharded) instead of failing the NamedSharding placement."""
+    from vision_transformer_cam_tpu.train import loop as looplib
+
+    class FakeDS:
+        def __len__(self):
+            return 11  # 8 + 3 over an 8-device mesh
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {"name": str(i),
+                    "image": rng.standard_normal((32, 32, 3)).astype(
+                        np.float32),
+                    "label": np.eye(20, dtype=np.float32)[i % 20]}
+
+    from vision_transformer_cam_tpu.data.loader import BatchLoader
+    from vision_transformer_cam_tpu.parallel import mesh as meshlib
+    mesh = meshlib.make_mesh((-1,), ("data",))
+    params = vit.init(TINY, jax.random.key(0))
+    loader = BatchLoader(FakeDS(), 8, shuffle=False, drop_last=False)
+    res = looplib.evaluate(params, loader, TINY, mesh)
+    assert np.isfinite(res["mAP_16patch"])

@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_impl", type=str, default="auto",
                    choices=["auto", "xla", "pallas"],
                    help="auto = fused Pallas kernel on TPU, XLA elsewhere")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each batch over all devices (batch_size must "
+                        "divide by the device count)")
     return p
 
 
@@ -85,6 +88,13 @@ def val(args) -> dict:
                       seg_label_flag=True, img_size=cfg.img_size)
     loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False)
 
+    mesh = sharding = None
+    if args.data_parallel:
+        from vision_transformer_cam_tpu.parallel import (data_sharding,
+                                                         make_mesh)
+        mesh = make_mesh((-1,), ("data",))
+        sharding = data_sharding(mesh)
+
     confmat = ConfusionMatrix(args.num_classes)
     all_ap, n_done, t0 = [], 0, time.time()
     try:
@@ -93,7 +103,10 @@ def val(args) -> dict:
     except ImportError:
         loader_iter = loader
     for batch in loader_iter:
-        out = vit.apply(params, batch["image"], cfg)
+        images = batch["image"]
+        if sharding is not None and images.shape[0] % mesh.size == 0:
+            images = jax.device_put(images, sharding)
+        out = vit.apply(params, images, cfg)
         segs = batch["seg_label"] if isinstance(batch["seg_label"], list) \
             else list(batch["seg_label"])
         sizes = [s.shape for s in segs]

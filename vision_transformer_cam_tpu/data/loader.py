@@ -121,17 +121,34 @@ class BatchLoader:
 def device_prefetch(iterator, sharding=None, size: int = 2):
     """Overlap H2D transfer with compute: keep `size` device-resident batches
     in flight.  `sharding` is a jax.sharding.Sharding for the image/label
-    arrays (per-host global batches under pjit)."""
+    arrays.  Multi-host: the local batch is this host's shard of the global
+    batch (assembled via make_array_from_process_local_data); single-host
+    partial batches that don't divide the mesh fall back to an unsharded
+    placement rather than failing."""
     import collections
 
     import jax
+
+    n_shards = 1
+    if sharding is not None:
+        n_shards = getattr(getattr(sharding, "mesh", None), "size", 1)
+
+    def put_one(x):
+        if sharding is None:
+            return jax.device_put(x)
+        if jax.process_count() > 1:
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sharding, x,
+                                                          global_shape)
+        if x.shape[0] % n_shards:
+            return jax.device_put(x)       # partial tail batch: replicate
+        return jax.device_put(x, sharding)
 
     def put(batch):
         out = dict(batch)
         for k in ("image", "label"):
             if k in out and isinstance(out[k], np.ndarray):
-                out[k] = jax.device_put(out[k], sharding) if sharding is not None \
-                    else jax.device_put(out[k])
+                out[k] = put_one(out[k])
         return out
 
     buf = collections.deque()
