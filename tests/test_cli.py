@@ -183,3 +183,21 @@ def test_validate_cli_data_parallel(voc_tree, tmp_path, tiny_zoo,
                      "--batch_size", "4", "--data_parallel",
                      "--seg_pred_dir", str(tmp_path / "sp2")])
     assert np.isfinite(res["mIoU"])
+
+
+def test_validate_cli_cam_export(voc_tree, tmp_path, tiny_zoo, monkeypatch):
+    """--ori_cam_path exports one rollout-CAM overlay jpg per image
+    (BASELINE config #3)."""
+    from vision_transformer_cam_tpu.cli import validate as vcli
+    monkeypatch.chdir(tmp_path)
+    cam_dir = tmp_path / "cams"
+    vcli.main(["--model_name", tiny_zoo,
+               "--dataset_path", str(voc_tree),
+               "--val_img_name_path", str(voc_tree / "split.txt"),
+               "--batch_size", "4",
+               "--ori_cam_path", str(cam_dir),
+               "--seg_pred_dir", str(tmp_path / "sp3")])
+    files = sorted(os.listdir(cam_dir))
+    assert files == [f"{n}_rollout_cam.jpg" for n in NAMES]
+    im = np.asarray(PIL.Image.open(cam_dir / files[0]))
+    assert im.ndim == 3 and im.shape[2] == 3

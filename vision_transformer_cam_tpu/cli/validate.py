@@ -44,7 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset_path", type=str, required=True,
                    help="VOC2012 root (contains JPEGImages/)")
     p.add_argument("--val_img_name_path", type=str, required=True)
-    p.add_argument("--ori_cam_path", type=str, default="")
+    p.add_argument("--ori_cam_path", type=str, default="",
+                   help="when set, export attention-rollout CAM overlays "
+                        "(one jpg per image) into this directory")
     p.add_argument("--device", type=str, default="",
                    help="ignored (jax uses its default device)")
     p.add_argument("--cls_labels_path", type=str, default="")
@@ -102,11 +104,31 @@ def val(args) -> dict:
         loader_iter = tqdm(loader, file=sys.stdout)
     except ImportError:
         loader_iter = loader
+    if args.ori_cam_path:
+        os.makedirs(args.ori_cam_path, exist_ok=True)
     for batch in loader_iter:
         images = batch["image"]
         if sharding is not None and images.shape[0] % mesh.size == 0:
             images = jax.device_put(images, sharding)
-        out = vit.apply(params, images, cfg)
+        out = vit.apply(params, images, cfg,
+                        need_rollout=bool(args.ori_cam_path))
+        if args.ori_cam_path:
+            # BASELINE config #3: rollout-CAM export with palette overlay
+            from vision_transformer_cam_tpu.cam.render import (_imwrite,
+                                                               overlay_cam)
+            from vision_transformer_cam_tpu.ops.rollout import (
+                cam_from_rollout_row)
+            import PIL.Image
+            cams = np.asarray(jax.device_get(
+                cam_from_rollout_row(out.rollout_row, cfg.grid_size)))
+            for i, name in enumerate(batch["name"]):
+                from vision_transformer_cam_tpu.data.voc12 import get_img_path
+                pil = PIL.Image.open(
+                    get_img_path(name, args.dataset_path)).convert("RGB")
+                bgr = np.asarray(pil)[..., ::-1]
+                _imwrite(os.path.join(args.ori_cam_path,
+                                      f"{name}_rollout_cam.jpg"),
+                         overlay_cam(cams[i], bgr))
         segs = batch["seg_label"] if isinstance(batch["seg_label"], list) \
             else list(batch["seg_label"])
         sizes = [s.shape for s in segs]
