@@ -58,6 +58,16 @@ def cmd_make_splits(args):
         write_split("trainaug_val", trainaug_val, "SegmentationClassAug")
 
 
+def cmd_make_class_indices(args):
+    """Write class_indices.json — the id->name map predict.py loads at
+    startup (predict.py:96-99)."""
+    import json
+    from vision_transformer_cam_tpu.data.voc12 import CAT_LIST
+    with open(args.out, "w") as f:
+        json.dump({str(i): n for i, n in enumerate(CAT_LIST)}, f, indent=2)
+    print(f"wrote {args.out}")
+
+
 def cmd_get_palette(args):
     from vision_transformer_cam_tpu.data.palette import (palette_from_png,
                                                          save_palette_json)
@@ -105,6 +115,10 @@ def build_parser():
     s.add_argument("--voc12_root", required=True)
     s.add_argument("--out_dir", default="./voc12")
     s.set_defaults(fn=cmd_make_splits)
+
+    ci = sub.add_parser("make_class_indices")
+    ci.add_argument("--out", default="class_indices.json")
+    ci.set_defaults(fn=cmd_make_class_indices)
 
     g = sub.add_parser("get_palette")
     g.add_argument("--png", default="",
