@@ -189,3 +189,21 @@ def test_clamp_softmax_matches_when_in_range():
                                   clamp_softmax=True, interpret=True)
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(c[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(c[1]), atol=1e-6)
+
+
+def test_block_fusion_v3_matches_v2():
+    """The opt-in whole-sub-block kernel (attn_block_fusion) reproduces the
+    default pallas path, with and without fused rollout."""
+    cfg2 = TINY.replace(attn_impl="pallas")
+    cfg3 = cfg2.replace(attn_block_fusion=True)
+    params = vit.init(TINY, jax.random.key(5))
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    a = vit.apply(params, x, cfg2, need_rollout=True)
+    b = vit.apply(params, x, cfg3, need_rollout=True)
+    np.testing.assert_allclose(np.asarray(b.logits), np.asarray(a.logits),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(b.rollout_row),
+                               np.asarray(a.rollout_row), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.attn_cls_rows),
+                               np.asarray(a.attn_cls_rows), atol=1e-5)

@@ -73,6 +73,11 @@ class ViTCAMConfig:
     # serving mode: clamp softmax logits to +-80 instead of the row-max
     # subtraction (saves a reduce pass per head; exact while |logit| < 80)
     softmax_clamp: bool = False
+    # v3 whole-sub-block kernel (qkv GEMM + attention + proj + residual in
+    # one program).  Measured SLOWER than v2 at ViT-B batch 512 (3528 vs
+    # 3710 img/s — XLA's flattened batched GEMM beats the per-program one);
+    # kept as a knob for shapes where weight residency wins.
+    attn_block_fusion: bool = False
 
     @property
     def grid_size(self) -> int:

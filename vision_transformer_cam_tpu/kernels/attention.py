@@ -293,6 +293,144 @@ def masked_attention_fused(qkv, bg, joint=None, *, num_heads: int,
     return out, cls_row
 
 
+def _attn_block_kernel(xn_ref, tok_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                       bproj_ref, bg_ref, *rest, **kw):
+    """v3 kernel: the whole attention sub-block — qkv GEMM, masked softmax
+    attention, proj GEMM, residual add — in one program.  The qkv/proj
+    weights' block index is constant across the grid, so Mosaic keeps them
+    VMEM-resident; the [N,3C] qkv tensor and the attention output never
+    exist in HBM."""
+    scale, mask_value = kw["scale"], kw["mask_value"]
+    h, dh = kw["num_heads"], kw["head_dim"]
+    qb_size, clamp = kw["q_block"], kw["clamp_softmax"]
+    if kw["with_rollout"]:
+        joint_ref, newtok_ref, cls_ref, newj_ref = rest
+    else:
+        joint_ref = newj_ref = None
+        newtok_ref, cls_ref = rest
+    n = xn_ref.shape[-2]
+    c = h * dh
+
+    qkv = jnp.dot(xn_ref[0], wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[0]).astype(xn_ref.dtype)        # [N, 3C]
+
+    key_mask = bg_ref[0, 0] * mask_value                  # [N] f32
+    attn_out = jnp.zeros((n, c), jnp.float32)
+    q_blocks = [(s0, min(qb_size, n - s0)) for s0 in range(0, n, qb_size)]
+    cls_row_final = None
+    for (q0, qn) in q_blocks:
+        fg_q = 1.0 - bg_ref[0, 0, q0:q0 + qn]
+        hm_acc = jnp.zeros((qn, n), jnp.float32) \
+            if joint_ref is not None else None
+        cls_acc = jnp.zeros((1, n), jnp.float32) if q0 == 0 else None
+        heads_out = []
+        for i in range(h):
+            q = qkv[q0:q0 + qn, i * dh:(i + 1) * dh]
+            k = qkv[:, c + i * dh:c + (i + 1) * dh]
+            v = qkv[:, 2 * c + i * dh:2 * c + (i + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + fg_q[:, None] * key_mask[None, :]
+            if clamp:
+                s = jnp.minimum(s, 80.0)
+            else:
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            if q0 == 0:
+                cls_acc = cls_acc + e[0:1, :] / denom[0:1]
+            if hm_acc is not None:
+                p = e / denom
+                hm_acc = hm_acc + p
+                ov = jnp.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+            else:
+                ov = jnp.dot(e.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32) / denom
+            heads_out.append(ov)
+        blk = jnp.concatenate(heads_out, axis=1)          # [QB, C]
+        if q0 == 0 and qn == n:
+            attn_out = blk
+        else:
+            attn_out = attn_out + jnp.pad(blk, ((q0, n - q0 - qn), (0, 0)))
+        if q0 == 0:
+            cls_row_final = (cls_acc[0] / h)
+        if joint_ref is not None:
+            jold = joint_ref[0]
+            prod = jnp.dot((hm_acc / h).astype(jold.dtype), jold,
+                           preferred_element_type=jnp.float32)
+            newj_ref[0, q0:q0 + qn] = (
+                0.5 * (prod + joint_ref[0, q0:q0 + qn].astype(jnp.float32))
+            ).astype(newj_ref.dtype)
+
+    proj = jnp.dot(attn_out.astype(xn_ref.dtype), wproj_ref[:],
+                   preferred_element_type=jnp.float32) + bproj_ref[0]
+    newtok_ref[0] = (tok_ref[0].astype(jnp.float32) + proj
+                     ).astype(newtok_ref.dtype)
+    cls_ref[0, 0] = cls_row_final.astype(cls_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "mask_value", "clamp_softmax",
+                                             "interpret"))
+def attention_block_fused(xn, tokens, wqkv, bqkv, wproj, bproj, bg,
+                          joint=None, *, num_heads: int, scale: float,
+                          mask_value: float = -100.0,
+                          clamp_softmax: bool = False,
+                          interpret: bool = False):
+    """Whole attention sub-block (vit_model.py:189-194): returns
+    (tokens + proj(attention(qkv(xn))), cls_row[, new_joint])."""
+    b, n, c = xn.shape
+    dh = c // num_heads
+    bgk = bg.astype(jnp.float32)[:, None, :]
+    kernel = functools.partial(
+        _attn_block_kernel, scale=scale, mask_value=mask_value,
+        num_heads=num_heads, head_dim=dh, q_block=min(n, 512),
+        clamp_softmax=clamp_softmax, with_rollout=joint is not None)
+
+    bnc = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    wq_spec = pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    bq_spec = pl.BlockSpec((1, 3 * c), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    wp_spec = pl.BlockSpec((c, c), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    bp_spec = pl.BlockSpec((1, c), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    nn_spec = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    in_specs = [bnc, bnc, wq_spec, bq_spec, wp_spec, bp_spec, row]
+    inputs = [xn, tokens, wqkv, bqkv.reshape(1, -1), wproj,
+              bproj.reshape(1, -1), bgk]
+    out_specs = [bnc, row]
+    out_shape = [jax.ShapeDtypeStruct((b, n, c), xn.dtype),
+                 jax.ShapeDtypeStruct((b, 1, n), xn.dtype)]
+    if joint is not None:
+        in_specs.append(nn_spec)
+        inputs.append(joint)
+        out_specs.append(nn_spec)
+        out_shape.append(jax.ShapeDtypeStruct((b, n, n), joint.dtype))
+
+    res = pl.pallas_call(
+        kernel, grid=(b,), in_specs=in_specs, out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * c * (4 * c + 2 * num_heads * n * dh // c * c),
+            bytes_accessed=4 * b * n * c * xn.dtype.itemsize,
+            transcendentals=b * num_heads * n * n),
+        interpret=interpret,
+    )(*inputs)
+    newtok, cls_row = res[0], res[1][:, 0, :]
+    if joint is not None:
+        return newtok, cls_row, res[2]
+    return newtok, cls_row
+
+
 # ---------------------------------------------------------------------------
 # differentiable wrapper: Pallas forward, XLA-autodiff backward
 # ---------------------------------------------------------------------------

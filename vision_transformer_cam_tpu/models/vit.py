@@ -306,12 +306,34 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         # kernel-fused rollout only when the head-mean matrices aren't also
         # being collected (the kernel emits one [N,N] output per call)
         fuse_rollout = need_rollout and not (need_headmean or need_perhead)
-        o, cls_row, hm, ph, newj = attn_impl(
-            lp["attn"], xn, bg, cfg, rngs, need_probs,
-            joint=joint if fuse_rollout else None)
-        if use_rng:
-            o = _drop_path(rngs["dp1"], dp, o)
-        tok = tok + o
+        # v3 whole-sub-block kernel (qkv GEMM + attention + proj + residual
+        # in one program): inference, float weights, no stacked probs needed
+        use_block_kernel = (cfg.attn_impl == "pallas"
+                            and cfg.attn_block_fusion and rngs is None
+                            and need_probs in (None, "headmean")
+                            and (need_probs is None or fuse_rollout)
+                            and "kernel" in params["blocks"]["attn"]["qkv"])
+        if use_block_kernel:
+            from vision_transformer_cam_tpu.kernels.attention import (
+                attention_block_fused)
+            res = attention_block_fused(
+                xn, tok, lp["attn"]["qkv"]["kernel"],
+                lp["attn"]["qkv"]["bias"], lp["attn"]["proj"]["kernel"],
+                lp["attn"]["proj"]["bias"], bg,
+                joint if fuse_rollout else None,
+                num_heads=cfg.num_heads, scale=cfg.scale,
+                mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
+                interpret=jax.default_backend() != "tpu")
+            tok, cls_row = res[0], res[1].astype(cfg.dtype)
+            newj = res[2] if fuse_rollout else None
+            hm = ph = None
+        else:
+            o, cls_row, hm, ph, newj = attn_impl(
+                lp["attn"], xn, bg, cfg, rngs, need_probs,
+                joint=joint if fuse_rollout else None)
+            if use_rng:
+                o = _drop_path(rngs["dp1"], dp, o)
+            tok = tok + o
         yn = _layer_norm(tok, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.ln_eps)
         hmid = _gelu(_linear(yn, lp["mlp"]["fc1"], cfg), cfg.gelu_approx)
         if use_rng:
