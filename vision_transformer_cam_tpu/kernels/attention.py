@@ -280,6 +280,8 @@ def masked_attention_fused(qkv, bg, joint=None, *, num_heads: int,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),  # batch: megacore-splittable
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * num_heads * n * n * dh,
             bytes_accessed=2 * b * n * (c3 + c) * qkv.dtype.itemsize,
@@ -419,6 +421,8 @@ def attention_block_fused(xn, tokens, wqkv, bqkv, wproj, bproj, bg,
     res = pl.pallas_call(
         kernel, grid=(b,), in_specs=in_specs, out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * c * (4 * c + 2 * num_heads * n * dh // c * c),
             bytes_accessed=4 * b * n * c * xn.dtype.itemsize,
