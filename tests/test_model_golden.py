@@ -100,6 +100,37 @@ def test_f32_forward_close():
                                atol=5e-2)
 
 
+def test_rollout_cam_matches_torch_rollout(golden):
+    """The headline artifact: the fused in-scan rollout CAM equals the
+    reference's post-hoc recursive-matmul rollout (predict.py:214-232)
+    computed in torch over the reference's own attention weights."""
+    import torch
+
+    ref, _, cfg = golden
+    att = torch.from_numpy(ref["attn_weights"]).mean(dim=2)  # [L, B, N, N]
+    n = att.shape[-1]
+    aug = att + torch.eye(n, dtype=att.dtype)
+    aug = aug / aug.sum(dim=-1, keepdim=True)
+    joint = aug[0]
+    for l in range(1, aug.shape[0]):
+        joint = torch.matmul(aug[l], joint)
+    want = joint[:, 0, 1:].reshape(-1, cfg.grid_size, cfg.grid_size)
+    want = want / want.amax(dim=(1, 2), keepdim=True)
+
+    # our fused path, from the same weights/images (reuse fixture params)
+    model = oracle.make_reference_model(num_classes=20, has_logits=False,
+                                        double=True, seed=0)
+    sd = oracle.torch_state_dict_numpy(model)
+    params = wio.pytree_from_state_dict(sd, cfg)
+    rng = np.random.default_rng(42)
+    imgs = rng.standard_normal((2, 3, 224, 224)).astype(np.float64)
+    out = vit.apply(params, jnp.asarray(imgs.transpose(0, 2, 3, 1)), cfg,
+                    need_rollout=True)
+    from vision_transformer_cam_tpu.ops.rollout import cam_from_rollout_row
+    cam = cam_from_rollout_row(out.rollout_row, cfg.grid_size)
+    np.testing.assert_allclose(np.asarray(cam), want.numpy(), atol=ATOL)
+
+
 def test_state_dict_roundtrip():
     cfg = configs.vit_base_patch16_224_in21k(num_classes=20, has_logits=False)
     params = vit.init(cfg, jax.random.key(0))
