@@ -207,3 +207,19 @@ def test_block_fusion_v3_matches_v2():
                                np.asarray(a.rollout_row), atol=1e-5)
     np.testing.assert_allclose(np.asarray(b.attn_cls_rows),
                                np.asarray(a.attn_cls_rows), atol=1e-5)
+
+
+def test_attention_bwd_kernel_matches_vjp():
+    """The fused backward kernel == jax.vjp of the XLA attention core."""
+    rng = np.random.default_rng(51)
+    b, h, n, dh = 2, 4, 37, 16
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * h * dh)), jnp.float32)
+    bg = jnp.asarray((rng.random((b, n)) < 0.3), jnp.float32).at[:, 0].set(0)
+    d_out = jnp.asarray(rng.standard_normal((b, n, h * dh)), jnp.float32)
+
+    got = ka.masked_attention_bwd(qkv, bg, d_out, num_heads=h, scale=0.25,
+                                  interpret=True)
+    _, vjp = jax.vjp(
+        lambda q: ka._xla_attention_core(q, bg, h, 0.25, -100.0), qkv)
+    (want,) = vjp((d_out, jnp.zeros((b, n), jnp.float32)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

@@ -435,6 +435,90 @@ def attention_block_fused(xn, tokens, wqkv, bqkv, wproj, bproj, bg,
     return newtok, cls_row
 
 
+def _attn_bwd_kernel(qkv_ref, bg_ref, do_ref, dqkv_ref, **kw):
+    """Fused attention backward: recomputes P per head in VMEM and emits
+    d_qkv directly — the XLA autodiff backward materializes P, dP and dS as
+    [B,H,N,N] f32 HBM tensors (~1.4 GB/layer at ViT-B batch 256); here they
+    never leave VMEM.
+
+      dV = P^T dO;  dP = dO V^T;  dS = P*(dP - rowsum(dP*P))*scale;
+      dQ = dS K;    dK = dS^T Q.
+    """
+    scale, mask_value = kw["scale"], kw["mask_value"]
+    h, dh, clamp = kw["num_heads"], kw["head_dim"], kw["clamp_softmax"]
+    n = qkv_ref.shape[-2]
+    c = h * dh
+    key_mask = bg_ref[0, 0] * mask_value
+    fg_q = 1.0 - bg_ref[0, 0]
+    for i in range(h):
+        q = qkv_ref[0, :, i * dh:(i + 1) * dh]
+        k = qkv_ref[0, :, c + i * dh:c + (i + 1) * dh]
+        v = qkv_ref[0, :, 2 * c + i * dh:2 * c + (i + 1) * dh]
+        do = do_ref[0, :, i * dh:(i + 1) * dh].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + fg_q[:, None] * key_mask[None, :]
+        if clamp:
+            s = jnp.minimum(s, 80.0)
+        else:
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)            # [N, N] f32
+        pb = p.astype(qkv_ref.dtype)
+        dv = jax.lax.dot_general(pb, do.astype(qkv_ref.dtype),
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do.astype(qkv_ref.dtype), v,
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dsb = ds.astype(qkv_ref.dtype)
+        dq = jnp.dot(dsb, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dqkv_ref[0, :, i * dh:(i + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + i * dh:c + (i + 1) * dh] = \
+            dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + i * dh:2 * c + (i + 1) * dh] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "mask_value", "clamp_softmax",
+                                             "interpret"))
+def masked_attention_bwd(qkv, bg, d_out, *, num_heads: int, scale: float,
+                         mask_value: float = -100.0,
+                         clamp_softmax: bool = False,
+                         interpret: bool = False):
+    """d_qkv for the fused attention given (qkv, bg, dO)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // num_heads
+    bgk = bg.astype(jnp.float32)[:, None, :]
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale,
+                               mask_value=mask_value, num_heads=num_heads,
+                               head_dim=dh, clamp_softmax=clamp_softmax)
+    qkv_spec = pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel, grid=(b,),
+        in_specs=[qkv_spec, row_spec, o_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, c3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * num_heads * n * n * dh,
+            bytes_accessed=3 * b * n * c3 * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n),
+        interpret=interpret,
+    )(qkv, bgk, d_out)
+
+
 # ---------------------------------------------------------------------------
 # differentiable wrapper: Pallas forward, XLA-autodiff backward
 # ---------------------------------------------------------------------------
@@ -481,10 +565,17 @@ def _fused_fwd(qkv, bg, num_heads, scale, mask_value, clamp_softmax=False):
 def _fused_bwd(num_heads, scale, mask_value, clamp_softmax, residuals,
                cotangents):
     qkv, bg = residuals
-    _, vjp = jax.vjp(
-        lambda q: _xla_attention_core(q, bg, num_heads, scale, mask_value),
-        qkv)
-    (d_qkv,) = vjp(cotangents)
+    d_out, _d_cls = cotangents  # cls-row cotangent provably zero in the model
+    if jax.default_backend() == "tpu":
+        d_qkv = masked_attention_bwd(
+            qkv, bg, d_out, num_heads=num_heads, scale=scale,
+            mask_value=mask_value, clamp_softmax=clamp_softmax)
+    else:
+        _, vjp = jax.vjp(
+            lambda q: _xla_attention_core(q, bg, num_heads, scale,
+                                          mask_value),
+            qkv)
+        (d_qkv,) = vjp(cotangents)
     return d_qkv, jnp.zeros_like(bg)
 
 
