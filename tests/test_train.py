@@ -194,3 +194,18 @@ def test_evaluate_handles_partial_tail_batch():
     loader = BatchLoader(FakeDS(), 8, shuffle=False, drop_last=False)
     res = looplib.evaluate(params, loader, TINY, mesh)
     assert np.isfinite(res["mAP_16patch"])
+
+
+def test_checkpoint_roundtrip_sharded_params(tmp_path):
+    """Checkpoint save/restore with mesh-sharded (dp x tp) parameters —
+    orbax consumes the sharded jax arrays directly."""
+    mesh = meshlib.make_mesh((4, 2), ("data", "model"))
+    params = vit.init(TINY, jax.random.key(0))
+    tx, _ = statelib.make_optimizer(configs.OptimConfig(),
+                                    global_batch_size=8, steps_per_epoch=1)
+    p = meshlib.shard_params(mesh, params, model_axis="model")
+    st = statelib.create_train_state(p, tx)
+    ckptlib.save(str(tmp_path), "sharded", st)
+    restored = ckptlib.restore(str(tmp_path), "sharded", st)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), st.params, restored.params)

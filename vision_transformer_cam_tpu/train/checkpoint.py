@@ -25,19 +25,24 @@ except Exception:  # pragma: no cover
 
 
 def save(ckpt_dir: str, tag: str, state: TrainState) -> str:
-    """Save full train state under <ckpt_dir>/<tag>."""
+    """Save full train state under <ckpt_dir>/<tag>.
+
+    Orbax consumes the jax arrays directly (it understands shardings and
+    gathers across hosts); the npz fallback gathers to host numpy, which
+    only works single-host."""
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
-    state = jax.tree.map(np.asarray, state)
     if _HAVE_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, {"step": state.step, "params": state.params,
                           "opt_state": state.opt_state}, force=True)
-    else:  # flat-npz fallback
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        flat, treedef = jax.tree.flatten(state)
-        np.savez(path + ".npz", treedef=np.frombuffer(
-            str(treedef).encode(), dtype=np.uint8),
-            **{f"leaf{i}": l for i, l in enumerate(flat)})
+        return path
+    # flat-npz fallback (single-host: gathers to host numpy)
+    state = jax.tree.map(np.asarray, state)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    flat, treedef = jax.tree.flatten(state)
+    np.savez(path + ".npz", treedef=np.frombuffer(
+        str(treedef).encode(), dtype=np.uint8),
+        **{f"leaf{i}": l for i, l in enumerate(flat)})
     return path
 
 
