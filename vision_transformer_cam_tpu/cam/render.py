@@ -40,8 +40,7 @@ def jet_colormap(u8: np.ndarray) -> np.ndarray:
     r = ramp(4.0 * x - 3.0)
     g = ramp(4.0 * x - 2.0)
     b = ramp(4.0 * x - 1.0)
-    return np.stack([b, g, r], axis=-1).astype(np.float64).__mul__(
-        255).astype(np.uint8)
+    return (np.stack([b, g, r], axis=-1) * 255).astype(np.uint8)
 
 
 def _resize_u8(u8: np.ndarray, size_wh) -> np.ndarray:

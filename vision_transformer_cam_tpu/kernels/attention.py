@@ -13,7 +13,9 @@ twists, fused into one VMEM-resident kernel:
     probability tensor never exists in HBM.
 
 Numerics match the XLA path: logits in f32, additive mask value (default
--100) pre-softmax, softmax over the true N keys (padded keys get -1e9).
+-100) pre-softmax.  (The v1 split-tensor kernel pads N to 128 multiples and
+kills padded keys with -1e9; the v2 fused kernel needs no padding — Mosaic
+handles non-aligned N internally.)
 
 Grid: block_b batch elements per program (amortizes per-program overhead);
 the heads loop inside the program (statically unrolled), everything resident
