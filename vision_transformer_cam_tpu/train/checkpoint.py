@@ -50,7 +50,15 @@ def restore(ckpt_dir: str, tag: str, template: TrainState) -> TrainState:
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     if _HAVE_ORBAX and os.path.isdir(path):
         ckptr = ocp.PyTreeCheckpointer()
-        tree = ckptr.restore(path)
+        # Restore directly onto the template's shardings/dtypes (required
+        # for multi-host; avoids orbax's sharding-from-file fallback).
+        item = {"step": template.step, "params": template.params,
+                "opt_state": template.opt_state}
+        try:
+            restore_args = ocp.checkpoint_utils.construct_restore_args(item)
+            tree = ckptr.restore(path, item=item, restore_args=restore_args)
+        except Exception:
+            tree = ckptr.restore(path)
         return TrainState(step=tree["step"], params=tree["params"],
                           opt_state=jax.tree.unflatten(
                               jax.tree.structure(template.opt_state),
