@@ -107,9 +107,16 @@ def main():
             scales = calibrate_act_scales(params, cfg, calib)
         params = quantize_params(params, act_scales=scales)
 
+    with_cam = "--no-cam" not in sys.argv
+
     @jax.jit
     def cam_extract(params, images):
-        out = vit.forward(params, images, cfg, need_rollout=True)
+        # --no-cam: the batched multi-label inference path (validate.py's
+        # classification metric, BASELINE config #2) without CAM extraction
+        out = vit.forward(params, images, cfg, need_rollout=with_cam)
+        if not with_cam:
+            return out.logits, out.head1_logits, jax.nn.sigmoid(
+                out.head1_logits)
         cam = rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
         return out.logits, out.head1_logits, cam
 
@@ -137,9 +144,10 @@ def main():
         best = min(best, (time.perf_counter() - t0) / chunk)
 
     img_per_s = batch / best
-    name = "vit_b16_cam_extraction_throughput" \
+    kind = "cam_extraction" if with_cam else "multilabel_inference"
+    name = f"vit_b16_{kind}_throughput" \
         if model == "vit_base_patch16_224_in21k" \
-        else f"{model}_cam_extraction_throughput"
+        else f"{model}_{kind}_throughput"
     print(json.dumps({
         "metric": name,
         "value": round(img_per_s, 1),
