@@ -1,1 +1,2 @@
-from vision_transformer_cam_tpu.data import loader, palette, transforms, voc12
+from vision_transformer_cam_tpu.data import (  # noqa: F401
+    generic, loader, palette, transforms, voc12)

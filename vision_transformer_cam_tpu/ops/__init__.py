@@ -1,1 +1,2 @@
-from vision_transformer_cam_tpu.ops import interpolate, losses, rollout
+from vision_transformer_cam_tpu.ops import (  # noqa: F401
+    interpolate, losses, quant, rollout)
