@@ -290,7 +290,11 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
     # Rollout product carried through the forward scan (the reference's
     # post-hoc recursive matmul chain, predict.py:222-226, fused here):
     # J_l = aug(A_l) @ J_{l-1}, J_0 = I; the CAM is row 0 of J_depth.
-    joint0 = jnp.broadcast_to(jnp.eye(n, dtype=cfg.dtype), (b, n, n)) \
+    # the joint product accumulates across all layers — carry it in f32 even
+    # under bf16 serving (bf16 J roughly doubles the CAM's deviation from the
+    # f32 path; the f32 carry costs ~1% throughput)
+    rollout_dtype = jnp.float32 if cfg.dtype == jnp.bfloat16 else cfg.dtype
+    joint0 = jnp.broadcast_to(jnp.eye(n, dtype=rollout_dtype), (b, n, n)) \
         if need_rollout else jnp.zeros((), cfg.dtype)
 
     def body(carry, xs):
@@ -355,8 +359,10 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             else:
                 aug = hm + jnp.eye(n, dtype=hm.dtype)
                 aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
-                joint = jnp.einsum("bij,bjk->bik", aug, joint,
-                                   preferred_element_type=cfg.dtype)
+                joint = jnp.einsum(
+                    "bij,bjk->bik", aug, joint,
+                    preferred_element_type=jnp.promote_types(
+                        jnp.float32, joint.dtype)).astype(joint.dtype)
 
         outs = (cls_row,
                 hm if need_headmean or need_perhead else jnp.zeros((), cfg.dtype),
