@@ -223,3 +223,24 @@ def test_attention_bwd_kernel_matches_vjp():
         lambda q: ka._xla_attention_core(q, bg, h, 0.25, -100.0), qkv)
     (want,) = vjp((d_out, jnp.zeros((b, n), jnp.float32)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_distilled_config_token_offsets():
+    """Distilled configs (cls+dist prefix): the mask/top-K machinery must
+    skip BOTH prefix tokens (review finding: a hard-coded 1-offset gathered
+    the dist token as 'patch 0')."""
+    cfg = TINY.replace(distilled=True)
+    params = vit.init(cfg, jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+                    jnp.float32)
+    out = vit.apply(params, x, cfg)
+    assert out.logits.shape == (2, 20)
+    # top-K indices address the 16-patch grid only
+    assert int(jnp.max(out.top_patch_idx)) < cfg.num_patches
+    # gathered embeddings equal the indexed patch tokens (prefix skipped)
+    outb = vit.apply(params, x, cfg, need_blocks=True)
+    toks = np.asarray(outb.tokens_prenorm)[:, cfg.num_tokens:, :]
+    idx = np.asarray(out.top_patch_idx)
+    want = np.take_along_axis(toks, idx[:, :, None], axis=1)
+    np.testing.assert_allclose(np.asarray(out.top_patch_embeds), want,
+                               atol=1e-6)

@@ -24,7 +24,8 @@ def cam_norm(cam: np.ndarray) -> np.ndarray:
     """utils.py:80-88: (cam - min) / max -> uint8 255."""
     cam = np.asarray(cam, dtype=np.float64)
     cam = cam - cam.min()
-    return np.uint8(255 * cam / cam.max())
+    # constant CAM (all-background image): reference divides 0/0 -> NaN
+    return np.uint8(255 * cam / max(cam.max(), 1e-12))
 
 
 def jet_colormap(u8: np.ndarray) -> np.ndarray:
@@ -88,7 +89,11 @@ def render_origin_cams(cams: np.ndarray, labels: np.ndarray,
             cam_ij = grid[i, j]
             per_cls.append(cam_ij)
             out = overlay_cam(cam_ij, img)
-            _imwrite(os.path.join(out_dir, f"{names[i]}_siglabel_cam.jpg"),
+            # the reference reuses one filename per image (utils.py:115),
+            # silently overwriting all but the last GT class — include the
+            # class index so every per-class CAM survives
+            _imwrite(os.path.join(out_dir,
+                                  f"{names[i]}_cls{j}_siglabel_cam.jpg"),
                      out)
         if per_cls:
             syn = np.max(np.stack(per_cls), axis=0)

@@ -155,7 +155,8 @@ def val(args) -> dict:
     results = {
         "mAP": float(np.mean(all_ap)) if all_ap else float("nan"),
         "global_acc": float(acc_global),
-        "mIoU": float(np.mean(np.asarray(iou)) * 100),
+        # nanmean: classes absent from both GT and prediction yield NaN IoU
+        "mIoU": float(np.nanmean(np.asarray(iou)) * 100),
     }
     print(confmat)
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")

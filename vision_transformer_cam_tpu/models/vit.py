@@ -239,17 +239,20 @@ def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs,
 
 def _mask_from_cls_row(cls_row, cfg: ViTCAMConfig):
     """One rollout step on the cls row -> normalized patch weights mask_14
-    and the bg indicator (vit_model.py:329-349)."""
+    and the bg indicator (vit_model.py:329-349).  Prefix tokens (cls, and
+    dist when distilled) are never background and are excluded from the
+    patch-weight map."""
     aug0 = cls_row.at[:, 0].add(1.0)
     aug0 = aug0 / jnp.sum(aug0, axis=-1, keepdims=True)
-    mask_i = aug0[:, 1:]                           # [B, num_patches]
+    mask_i = aug0[:, cfg.num_tokens:]              # [B, num_patches]
     if cfg.per_sample_mask_norm:
         mask14 = mask_i / jnp.max(mask_i, axis=-1, keepdims=True)
     else:
         mask14 = mask_i / jnp.max(mask_i)          # batch-global, as reference
     bg_patches = (mask14 < cfg.mask_threshold).astype(cls_row.dtype)
     bg = jnp.concatenate(
-        [jnp.zeros((cls_row.shape[0], 1), cls_row.dtype), bg_patches], axis=1)
+        [jnp.zeros((cls_row.shape[0], cfg.num_tokens), cls_row.dtype),
+         bg_patches], axis=1)
     return mask14, bg
 
 
@@ -381,8 +384,9 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
     # --- top-K high-weight patch head (vit_model.py:363-394) ---
     mask14, _ = _mask_from_cls_row(cls_rows[-1], cfg)
     _, top_idx = jax.lax.top_k(mask14, cfg.top_k_patches)      # [B, K]
-    # reference indexes x[j][index+1] on the full token tensor — i.e. skips cls
-    patch_tokens = tokens[:, 1:, :]
+    # reference indexes x[j][index+1] on the full token tensor — i.e. skips
+    # the prefix tokens (one cls; cls+dist when distilled)
+    patch_tokens = tokens[:, cfg.num_tokens:, :]
     top_embeds = jnp.take_along_axis(
         patch_tokens, top_idx[:, :, None], axis=1)              # [B, K, C]
     head1_in = jnp.mean(top_embeds, axis=1)
