@@ -201,3 +201,23 @@ def test_validate_cli_cam_export(voc_tree, tmp_path, tiny_zoo, monkeypatch):
     assert files == [f"{n}_rollout_cam.jpg" for n in NAMES]
     im = np.asarray(PIL.Image.open(cam_dir / files[0]))
     assert im.ndim == 3 and im.shape[2] == 3
+
+
+def test_train_cli_resume(voc_tree, tmp_path, tiny_zoo, monkeypatch):
+    """--resume restores the full train state and continues the step count."""
+    from vision_transformer_cam_tpu.cli import tools, train as tcli
+    monkeypatch.chdir(tmp_path)
+    out_npy = str(voc_tree / "cls_labels.npy")
+    tools.main(["make_cls_labels", "--train_list", str(voc_tree / "split.txt"),
+                "--val_list", str(voc_tree / "split.txt"),
+                "--voc12_root", str(voc_tree), "--out", out_npy])
+    args = ["--model_name", tiny_zoo, "--dataset_path", str(voc_tree),
+            "--train_img_name_path", str(voc_tree / "split.txt"),
+            "--val_img_name_path", str(voc_tree / "split.txt"),
+            "--cls_labels_path", out_npy, "--batch_size", "2",
+            "--epochs", "1", "--mesh_shape", "2",
+            "--ckpt_dir", str(tmp_path / "w"), "--log_dir", str(tmp_path)]
+    s1 = tcli.main(args)
+    assert int(s1.step) == 2
+    s2 = tcli.main(args + ["--resume"])
+    assert int(s2.step) == 4  # resumed at 2, ran 2 more

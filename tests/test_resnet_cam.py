@@ -44,3 +44,30 @@ def test_cnn_cam_demo_cli(tmp_path):
     assert len(res["top"]) == 3
     files = os.listdir(tmp_path / "cams")
     assert len(files) == 3 and all(f.endswith(".jpg") for f in files)
+
+
+def test_render_origin_cams(tmp_path):
+    """generate_origin_cam parity (utils.py:91-129): one overlay per GT class
+    plus the synthesized max-CAM, without the reference's filename collision."""
+    from vision_transformer_cam_tpu.cam.render import render_origin_cams
+    rng = np.random.default_rng(2)
+    cams = rng.random((2, 16, 5)).astype(np.float32)   # [B, P, C]
+    labels = np.zeros((2, 5), np.float32)
+    labels[0, [1, 3]] = 1
+    labels[1, 2] = 1
+    imgs = [rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+            for _ in range(2)]
+    render_origin_cams(cams, labels, ["img_a", "img_b"], "", str(tmp_path),
+                       images_bgr=imgs)
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["img_a_cls1_siglabel_cam.jpg",
+                     "img_a_cls3_siglabel_cam.jpg",
+                     "img_a_syn_cam.jpg",
+                     "img_b_cls2_siglabel_cam.jpg",
+                     "img_b_syn_cam.jpg"]
+
+
+def test_cam_norm_constant_input():
+    from vision_transformer_cam_tpu.cam.render import cam_norm
+    out = cam_norm(np.full((7, 7), 3.25))
+    assert out.dtype == np.uint8 and np.isfinite(out.astype(float)).all()

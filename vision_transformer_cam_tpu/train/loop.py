@@ -122,10 +122,19 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
     if resume:
         tag = ckptlib.latest_tag(train_cfg.ckpt_dir)
         if tag:
-            state = ckptlib.restore(train_cfg.ckpt_dir, tag, state)
-            state = TrainState(step=state.step,
-                               params=meshlib.shard_params(mesh, state.params),
-                               opt_state=state.opt_state)
+            template = state
+            state = ckptlib.restore(train_cfg.ckpt_dir, tag, template)
+
+            # Re-place every restored leaf on the mesh: restored arrays come
+            # back COMMITTED (scalars like step / adam count land on device
+            # 0), which clashes with mesh-sharded params inside one jit.
+            def _put(r, t):
+                sh = getattr(t, "sharding", None)
+                if not isinstance(sh, jax.sharding.NamedSharding):
+                    sh = meshlib.replicated(mesh)
+                return jax.device_put(r, sh)
+
+            state = jax.tree.map(_put, state, template)
             print(f"resumed from {tag} at step {int(state.step)}")
 
     n_epochs = epochs if epochs is not None else train_cfg.optim.epochs
