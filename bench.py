@@ -95,6 +95,10 @@ def main():
         cfg = cfg.replace(gelu_approx=True)
     if "--stable-softmax" not in sys.argv:
         cfg = cfg.replace(softmax_clamp=True)
+    if "--mlp-fusion" in sys.argv:
+        cfg = cfg.replace(mlp_fusion=True)
+    if "--int8-fused" in sys.argv:
+        cfg = cfg.replace(int8_fused_gemm=True)
     params = vit.init(cfg, jax.random.key(0))
     if "--int8" in sys.argv:
         from vision_transformer_cam_tpu.ops.quant import (

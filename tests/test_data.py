@@ -60,6 +60,30 @@ def test_palette_matches_png_extraction(tmp_path):
     assert palette.palette_from_png(str(png)) == palette.voc_palette_flat()
 
 
+def test_preprocess_matches_committed_golden():
+    """Vendored torchvision-parity golden (VERDICT round-1 item 9):
+    torchvision's PIL backend delegates Resize to PIL.Image.resize with the
+    same resample mode, so a PIL-produced golden pins the torchvision
+    pipeline semantics without the dependency.  Captured once (PIL 12.1,
+    seed 0) and committed; regenerate ONLY if the preprocessing contract
+    deliberately changes."""
+    import os
+    z = np.load(os.path.join(os.path.dirname(__file__),
+                             "golden_preprocess.npz"))
+    ours = transforms.preprocess_array(z["input_rgb"], 224,
+                                       (0.485, 0.456, 0.406),
+                                       (0.229, 0.224, 0.225))
+    np.testing.assert_allclose(ours, z["preprocessed"], atol=1e-6)
+
+
+def test_seg_resize_matches_committed_golden():
+    import os
+    z = np.load(os.path.join(os.path.dirname(__file__),
+                             "golden_preprocess.npz"))
+    ours = transforms.seg_resize_nearest(z["input_seg"], 224)
+    np.testing.assert_array_equal(ours, z["seg_resized"])
+
+
 def test_preprocess_matches_torchvision():
     torchvision = pytest.importorskip("torchvision")
     from torchvision import transforms as T

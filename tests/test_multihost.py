@@ -54,6 +54,30 @@ with mesh:
     state, m = train_step(state, imgs, lbls, jax.random.key(1), cfg, tx)
 loss = float(jax.device_get(m["loss"]))
 assert loss == loss  # finite
+
+# collective checkpoint save + restore across both processes (every process
+# calls save; orbax coordinates internally — VERDICT round-1 item 5)
+from vision_transformer_cam_tpu.train import checkpoint as ckptlib
+ckpt_dir = sys.argv[3]
+ckptlib.save(ckpt_dir, "ep0", state)
+restored = ckptlib.restore(ckpt_dir, "ep0", state)
+got = np.asarray(jax.device_get(restored.params["head"]["kernel"]))
+want = np.asarray(jax.device_get(state.params["head"]["kernel"]))
+np.testing.assert_array_equal(got, want)
+assert int(jax.device_get(restored.step)) == int(jax.device_get(state.step))
+
+# evaluate()'s multi-host gather mechanics: local rows of a data-sharded
+# global array, then process_allgather to the global row set
+from vision_transformer_cam_tpu.train.loop import _host_rows
+local = np.arange(12, dtype=np.float32).reshape(4, 3) \
+    + 100 * jax.process_index()
+g = jax.make_array_from_process_local_data(sh, local, (8, 3))
+np.testing.assert_array_equal(_host_rows(g), local)
+from jax.experimental import multihost_utils
+allrows = multihost_utils.process_allgather(_host_rows(g), tiled=True)
+assert allrows.shape == (8, 3)
+assert {0.0, 100.0} == {float(allrows[0, 0]), float(allrows[4, 0])}
+
 print(f"OK process={jax.process_index()} loss={loss:.4f}", flush=True)
 """
 
@@ -68,8 +92,9 @@ def test_two_process_distributed_train_step(tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))) + os.pathsep + env.get("PYTHONPATH", "")
+    ckpt_dir = tmp_path / "ckpts"
     procs = [subprocess.Popen(
-        [sys.executable, str(script), addr, str(i)],
+        [sys.executable, str(script), addr, str(i), str(ckpt_dir)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
         for i in range(2)]
     outs = []

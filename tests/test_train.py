@@ -81,7 +81,8 @@ def test_train_step_tensor_parallel_matches_dp():
     results = []
     for shape, axes, model_axis in [((4,), ("data",), None),
                                     ((4, 2), ("data", "model"), "model")]:
-        mesh = meshlib.make_mesh(shape, axes)
+        n = int(np.prod(shape))
+        mesh = meshlib.make_mesh(shape, axes, devices=jax.devices()[:n])
         # fresh (deterministic) init per mesh: train_step donates its input
         # state, so buffers from a previous iteration must not be reused
         params = vit.init(TINY, jax.random.key(2))

@@ -137,7 +137,15 @@ def val(args) -> dict:
         for i, name in enumerate(batch["name"]):
             save_indexed_png(os.path.join(args.seg_pred_dir, f"{name}.png"),
                              preds[i], palette)
-            confmat.update(segs[i].reshape(-1), preds[i].reshape(-1))
+            # Documented divergence: top-16 patches no feature maps to carry
+            # the reference's arange filler 21+p (validate.py:146), which
+            # overflows a 21-class confusion matrix — the reference would
+            # crash in bincount (utils.py:44) on such an image.  Fold those
+            # no-evidence patches to background before scoring; the exported
+            # PNG above keeps the reference-exact filler values.
+            scored = preds[i].reshape(-1).astype(np.int64)
+            scored[scored > args.num_classes] = 0
+            confmat.update(segs[i].reshape(-1), scored)
         if "label" in batch:
             all_ap += compute_mAP(batch["label"], probs)
         n_done += len(batch["name"])

@@ -78,6 +78,15 @@ class ViTCAMConfig:
     # 3710 img/s — XLA's flattened batched GEMM beats the per-program one);
     # kept as a knob for shapes where weight residency wins.
     attn_block_fusion: bool = False
+    # serving: fuse fc1+GELU+fc2 into one Pallas kernel so the [B*N, 4C]
+    # hidden tensor never round-trips HBM (~1.2 GB/layer bf16 at batch 512).
+    # Inference-only (no VJP); training keeps the XLA path.
+    mlp_fusion: bool = False
+    # serving: when a GEMM param node carries int8 weights AND a static
+    # calibrated activation scale, run it as a Pallas kernel that quantizes
+    # the activation tile in-kernel (no int8 activation copy in HBM) and
+    # uses the 2x int8 MXU path.  Off = XLA qlinear (ops/quant.py).
+    int8_fused_gemm: bool = False
 
     @property
     def grid_size(self) -> int:

@@ -178,8 +178,19 @@ def init(cfg: ViTCAMConfig, key: jax.Array):
 
 def _linear(x, p, cfg):
     """GEMM dispatch: bf16/f32 jnp.dot, or int8 MXU path when the param node
-    was rewritten by ops.quant.quantize_params (has 'kernel_q')."""
+    was rewritten by ops.quant.quantize_params (has 'kernel_q').  With
+    cfg.int8_fused_gemm and a static act_scale, the quantize runs inside a
+    Pallas kernel (kernels/gemm.linear_int8_fused) instead of XLA."""
     if "kernel_q" in p:
+        if cfg.int8_fused_gemm and "act_scale" in p:
+            from vision_transformer_cam_tpu.kernels.gemm import (
+                linear_int8_fused)
+            cs = (p["scale"].reshape(1, -1)
+                  * p["act_scale"]).astype(jnp.float32)
+            return linear_int8_fused(
+                x, p["kernel_q"], cs, p["bias"], 1.0 / p["act_scale"],
+                out_dtype=cfg.dtype,
+                interpret=jax.default_backend() != "tpu")
         from vision_transformer_cam_tpu.ops.quant import qlinear
         return qlinear(x, p, p.get("bias"), out_dtype=cfg.dtype)
     return jnp.dot(x, p["kernel"],
@@ -342,10 +353,31 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                 o = _drop_path(rngs["dp1"], dp, o)
             tok = tok + o
         yn = _layer_norm(tok, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.ln_eps)
-        hmid = _gelu(_linear(yn, lp["mlp"]["fc1"], cfg), cfg.gelu_approx)
-        if use_rng:
-            hmid = _dropout(rngs["mlp1"], cfg.drop_ratio, hmid)
-        ymlp = _linear(hmid, lp["mlp"]["fc2"], cfg)
+        f1, f2 = lp["mlp"]["fc1"], lp["mlp"]["fc2"]
+        # serving-only fused MLP kernel: the [B*N, 4C] hidden tensor stays in
+        # VMEM instead of round-tripping HBM between fc1 and fc2
+        use_mlp_kernel = cfg.mlp_fusion and not use_rng
+        if use_mlp_kernel and "kernel_q" in f1 and "act_scale" in f1:
+            from vision_transformer_cam_tpu.kernels.gemm import mlp_fused_int8
+            cs1 = (f1["scale"].reshape(1, -1)
+                   * f1["act_scale"]).astype(jnp.float32)
+            cs2 = (f2["scale"].reshape(1, -1)
+                   * f2["act_scale"]).astype(jnp.float32)
+            ymlp = mlp_fused_int8(
+                yn, f1["kernel_q"], cs1, f1["bias"], f2["kernel_q"], cs2,
+                f2["bias"], 1.0 / f1["act_scale"], 1.0 / f2["act_scale"],
+                gelu_approx=cfg.gelu_approx, out_dtype=cfg.dtype,
+                interpret=jax.default_backend() != "tpu")
+        elif use_mlp_kernel and "kernel" in f1:
+            from vision_transformer_cam_tpu.kernels.gemm import mlp_fused
+            ymlp = mlp_fused(yn, f1["kernel"], f1["bias"], f2["kernel"],
+                             f2["bias"], gelu_approx=cfg.gelu_approx,
+                             interpret=jax.default_backend() != "tpu")
+        else:
+            hmid = _gelu(_linear(yn, f1, cfg), cfg.gelu_approx)
+            if use_rng:
+                hmid = _dropout(rngs["mlp1"], cfg.drop_ratio, hmid)
+            ymlp = _linear(hmid, f2, cfg)
         if use_rng:
             ymlp = _dropout(rngs["mlp2"], cfg.drop_ratio, ymlp)
             ymlp = _drop_path(rngs["dp2"], dp, ymlp)

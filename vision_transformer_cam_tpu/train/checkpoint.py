@@ -74,4 +74,11 @@ def latest_tag(ckpt_dir: str) -> Optional[str]:
         return None
     tags = [t for t in os.listdir(ckpt_dir)
             if os.path.isdir(os.path.join(ckpt_dir, t)) or t.endswith(".npz")]
-    return max(tags).removesuffix(".npz") if tags else None
+    if not tags:
+        return None
+    # newest by mtime, NOT lexicographically: within one run the tag
+    # '...-cur_ep9-...' sorts after '...-cur_ep15-...' as a string, so a
+    # string max() could resume an older checkpoint (advisor finding).
+    newest = max(tags,
+                 key=lambda t: os.path.getmtime(os.path.join(ckpt_dir, t)))
+    return newest.removesuffix(".npz")

@@ -69,18 +69,42 @@ def train_one_epoch(state, loader, rng, cfg, tx, mesh, epoch, log_every=50):
     return state, means
 
 
+def _host_rows(arr) -> np.ndarray:
+    """This process's rows of a batch-sharded (or replicated) array, in
+    global-index order.  Replicated arrays yield the full batch once;
+    multi-host sharded arrays yield only the addressable stripe — a plain
+    jax.device_get would raise on non-fully-addressable arrays."""
+    if isinstance(arr, np.ndarray):
+        return arr
+    seen = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)])
+
+
 def evaluate(params, loader, cfg, mesh):
-    """utils.py:206-245: dual-head mAP over the val split, batched."""
+    """utils.py:206-245: dual-head mAP over the val split, batched.
+
+    Multi-host: each process feeds its stripe of the val split (fit() builds
+    the val loader with process striping), per-host rows are gathered with
+    process_allgather before the host-side AP computation — so every process
+    returns the same global mAP."""
     sharding = meshlib.data_sharding(mesh)
     labels, p_cls, p_h1 = [], [], []
     for batch in device_prefetch(loader, sharding):
-        out = jax.device_get(eval_step(params, batch["image"], cfg))
-        labels.append(batch["label"])
-        p_cls.append(out["probs_cls"])
-        p_h1.append(out["probs_head1"])
-    y = np.concatenate(labels)
-    return {"mAP_196patch": float(np.mean(compute_mAP(y, np.concatenate(p_cls)))),
-            "mAP_16patch": float(np.mean(compute_mAP(y, np.concatenate(p_h1))))}
+        out = eval_step(params, batch["image"], cfg)
+        labels.append(_host_rows(batch["label"]))
+        p_cls.append(_host_rows(out["probs_cls"]))
+        p_h1.append(_host_rows(out["probs_head1"]))
+    y, pc, ph = (np.concatenate(v) for v in (labels, p_cls, p_h1))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        y, pc, ph = (multihost_utils.process_allgather(v, tiled=True)
+                     for v in (y, pc, ph))
+    return {"mAP_196patch": float(np.mean(compute_mAP(y, pc))),
+            "mAP_16patch": float(np.mean(compute_mAP(y, ph)))}
 
 
 def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
@@ -89,7 +113,9 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
         log_dir: str = ".", resume: bool = False):
     """Full fine-tune entry (train_and_validate.py:34-195)."""
     meshlib.distributed_init()
-    mesh = meshlib.make_mesh(train_cfg.mesh_shape, train_cfg.mesh_axes)
+    mesh = meshlib.make_mesh(
+        train_cfg.mesh_shape, train_cfg.mesh_axes,
+        devices=meshlib.devices_for_shape(train_cfg.mesh_shape))
     is_main = jax.process_index() == 0
 
     train_ds = VOC12Dataset(train_data.img_name_list_path,
@@ -106,9 +132,12 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
                          num_threads=train_data.num_threads,
                          process_index=jax.process_index(),
                          process_count=jax.process_count())
-    val_loader = BatchLoader(val_ds, train_cfg.batch_size, shuffle=False,
+    val_loader = BatchLoader(val_ds, train_cfg.batch_size
+                             // jax.process_count(), shuffle=False,
                              drop_last=False,
-                             num_threads=val_data.num_threads)
+                             num_threads=val_data.num_threads,
+                             process_index=jax.process_index(),
+                             process_count=jax.process_count())
 
     rng = jax.random.key(train_cfg.seed)
     if init_params is None:
@@ -139,6 +168,12 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
 
     n_epochs = epochs if epochs is not None else train_cfg.optim.epochs
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    if jax.process_count() > 1:
+        # checkpoint tags embed the stamp and saving is collective — every
+        # process must agree on it, so broadcast process 0's clock
+        from jax.experimental import multihost_utils
+        arr = np.frombuffer(stamp.encode(), dtype=np.uint8)
+        stamp = bytes(multihost_utils.broadcast_one_to_all(arr)).decode()
     log_path = os.path.join(log_dir, f"train_log_{stamp}.txt") \
         if is_main else None
     tb = None
@@ -164,16 +199,22 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
             if tb is not None:
                 tb.add_scalar("train_loss", tm.get("loss", 0.0), epoch)
                 tb.add_scalar("f1_score", tm.get("f1", 0.0), epoch)
+                # same tag AND same quantity as train_and_validate.py:175,
+                # which logs the cls-head mAP (mAP_196patch) under this tag
                 tb.add_scalar("mAP_multiple_class_label",
-                              em["mAP_16patch"], epoch)
+                              em["mAP_196patch"], epoch)
                 tb.add_scalar("learning_rate", lr, epoch)
-            if is_main and tm.get("loss", float("inf")) < best_loss:
+            # checkpoint save is a COLLECTIVE: every process must call it
+            # (orbax coordinates internally; sharded leaves are not fully
+            # addressable from process 0 alone).  The best-loss decision is
+            # identical on every process because the loss metric is a
+            # replicated jit output.
+            if tm.get("loss", float("inf")) < best_loss:
                 best_loss = tm["loss"]
                 ckptlib.save(train_cfg.ckpt_dir,
                              f"{stamp}-cur_ep{epoch}-bestloss", state)
-        if is_main:
-            ckptlib.save(train_cfg.ckpt_dir,
-                         f"{stamp}-cur_ep{n_epochs - 1}-final", state)
+        ckptlib.save(train_cfg.ckpt_dir,
+                     f"{stamp}-cur_ep{n_epochs - 1}-final", state)
     if tb is not None:
         tb.close()
     return state

@@ -91,7 +91,11 @@ class ConfusionMatrix:
         n = self.num_classes + 1
         if self.mat is None:
             self.mat = np.zeros((n, n), dtype=np.int64)
-        k = (a >= 0) & (a < n)
+        # GT outside [0, n) is dropped like the reference (utils.py:43);
+        # predictions outside [0, n) are ALSO dropped — a documented
+        # divergence: the reference would crash in bincount (utils.py:44)
+        # when pseudo-seg filler classes 21+p (validate.py:146) reach it.
+        k = (a >= 0) & (a < n) & (b >= 0) & (b < n)
         inds = n * a[k] + b[k]
         self.mat += np.bincount(inds, minlength=n ** 2).reshape(n, n)
 
