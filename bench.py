@@ -99,6 +99,8 @@ def main():
         cfg = cfg.replace(mlp_fusion=True)
     if "--int8-fused" in sys.argv:
         cfg = cfg.replace(int8_fused_gemm=True)
+    if "--rollout-post" in sys.argv:
+        cfg = cfg.replace(rollout_post=True)
     params = vit.init(cfg, jax.random.key(0))
     if "--int8" in sys.argv:
         from vision_transformer_cam_tpu.ops.quant import (

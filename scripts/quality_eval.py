@@ -1,0 +1,162 @@
+"""Serving-mode quality evaluation on TRAINED weights.
+
+Real VOC2012 JPEGs and the jx_ ViT-B/16-21k checkpoint are unavailable in
+this environment (no network egress; only the split lists exist under the
+reference's voc12/).  The substitute: fine-tune on a synthetic structured
+multi-label dataset until the attention genuinely separates foreground from
+background, then measure every serving mode's mAP / CAM / top-16 deltas
+against the f32 exact path on those TRAINED weights.  Random-weight fidelity
+(BENCHMARKS.md) is the worst case — near-uniform attention maximizes
+threshold and top-k ties; this script bounds the realistic case.
+
+Mirrors the reference's quality protocol (multi-label val mAP as in
+utils.py:206-245, update_log.md:35) on data this environment can produce.
+
+  python scripts/quality_eval.py [--steps N] [--batch B] [--eval N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_transformer_cam_tpu import configs
+from vision_transformer_cam_tpu.models import vit
+from vision_transformer_cam_tpu.ops import rollout
+from vision_transformer_cam_tpu.utils.metrics import compute_mAP
+
+NUM_CLASSES = 20
+# deterministic class colors/textures (means in normalized-image units)
+_rng = np.random.RandomState(0)
+CLASS_COLOR = _rng.uniform(-1.8, 1.8, size=(NUM_CLASSES, 3))
+CLASS_FREQ = _rng.randint(2, 6, size=NUM_CLASSES)
+
+
+def make_batch(seed: int, n: int, img: int = 224):
+    """n images with 1-3 of 20 classes each; a present class contributes a
+    56x56 textured square at a random location over a noise background."""
+    r = np.random.RandomState(seed)
+    images = r.normal(0.0, 0.25, size=(n, img, img, 3)).astype(np.float32)
+    labels = np.zeros((n, NUM_CLASSES), np.float32)
+    yy, xx = np.mgrid[0:56, 0:56]
+    for i in range(n):
+        for c in r.choice(NUM_CLASSES, size=r.randint(1, 4), replace=False):
+            labels[i, c] = 1.0
+            y0 = r.randint(0, img - 56)
+            x0 = r.randint(0, img - 56)
+            tex = np.sin((xx + yy) * (np.pi / CLASS_FREQ[c]))[..., None]
+            patch = CLASS_COLOR[c][None, None, :] * (0.75 + 0.25 * tex)
+            images[i, y0:y0 + 56, x0:x0 + 56] += patch.astype(np.float32)
+    return jnp.asarray(images), jnp.asarray(labels)
+
+
+def finetune(steps: int, batch: int):
+    from vision_transformer_cam_tpu.train.state import (create_train_state,
+                                                        make_optimizer)
+    from vision_transformer_cam_tpu.train.step import train_step
+
+    cfg = configs.vit_base_patch16_224_in21k(num_classes=NUM_CLASSES,
+                                             has_logits=False)
+    cfg = cfg.replace(dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                      attn_impl="pallas", drop_ratio=0.0,
+                      attn_drop_ratio=0.0, drop_path_ratio=0.0)
+    params = vit.init(cfg, jax.random.key(0))
+    tx, _ = make_optimizer(
+        configs.OptimConfig(lr=5e-4, weight_decay=5e-5, warmup_epochs=1,
+                            epochs=max(steps // 50, 2)),
+        global_batch_size=batch, steps_per_epoch=50)
+    state = create_train_state(params, tx)
+    rng = jax.random.key(42)
+    t0 = time.perf_counter()
+    for s in range(steps):
+        images, labels = make_batch(1000 + s, batch)
+        state, m = train_step(state, images, labels, rng, cfg, tx)
+        if s % 25 == 0 or s == steps - 1:
+            print(f"  step {s:4d}  loss {float(m['loss']):.4f}  "
+                  f"f1 {float(m['f1']):.3f}  "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    return jax.device_get(state.params)
+
+
+def eval_mode(name, params, cfg, images, labels, truth=None):
+    @jax.jit
+    def fwd(p, x):
+        out = vit.forward(p, x, cfg, need_rollout=True)
+        cam = rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
+        return (out.logits, out.head1_logits, cam, out.top_patch_idx)
+
+    logits, h1, cam, topi = jax.device_get(fwd(params, images))
+    lab = np.asarray(labels)
+    m196 = compute_mAP(lab, 1 / (1 + np.exp(-logits.astype(np.float32))))
+    m16 = compute_mAP(lab, 1 / (1 + np.exp(-h1.astype(np.float32))))
+    row = {"mode": name, "mAP_196patch": float(np.mean(m196)),
+           "mAP_16patch": float(np.mean(m16)),
+           "cam": cam.astype(np.float32), "topi": topi}
+    if truth is not None:
+        dev = np.abs(row["cam"] - truth["cam"])
+        row["cam_max_dev"] = float(dev.max())
+        row["cam_mean_dev"] = float(dev.mean())
+        inter = [len(set(a.tolist()) & set(b.tolist())) / len(a)
+                 for a, b in zip(topi, truth["topi"])]
+        row["top16_overlap"] = float(np.mean(inter))
+    return row
+
+
+def main():
+    def arg(flag, default):
+        return int(sys.argv[sys.argv.index(flag) + 1]) \
+            if flag in sys.argv else default
+
+    steps = arg("--steps", 300)
+    batch = arg("--batch", 64)
+    n_eval = arg("--eval", 256)
+
+    print(f"fine-tuning {steps} steps @ batch {batch} on synthetic data")
+    params = finetune(steps, batch)
+    images, labels = make_batch(9999, n_eval)
+
+    base = configs.vit_base_patch16_224_in21k(num_classes=NUM_CLASSES,
+                                              has_logits=False)
+    base = base.replace(representation_size=None)
+
+    f32 = base.replace(dtype=jnp.float32, param_dtype=jnp.float32)
+    p32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
+    truth = eval_mode("f32 exact (truth)", p32, f32, images, labels)
+
+    bf = base.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                      attn_impl="pallas", gelu_approx=True,
+                      softmax_clamp=True)
+    pbf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    rows = [truth,
+            eval_mode("bf16+pallas+tanh+clamp (serving)", pbf, bf, images,
+                      labels, truth)]
+
+    from vision_transformer_cam_tpu.ops.quant import (calibrate_act_scales,
+                                                      quantize_params)
+    calib, _ = make_batch(777, 16)
+    scales = calibrate_act_scales(pbf, bf, calib)
+    pq = quantize_params(pbf, act_scales=scales)
+    rows.append(eval_mode("int8 W8A8 static (serving)", pq, bf, images,
+                          labels, truth))
+    bf_fused = bf.replace(mlp_fusion=True, int8_fused_gemm=True)
+    rows.append(eval_mode("int8 fused-kernel (serving)", pq, bf_fused,
+                          images, labels, truth))
+
+    print(f"\n{'mode':38s} {'mAP_196':>8s} {'mAP_16':>8s} "
+          f"{'camMaxD':>8s} {'camMeanD':>9s} {'top16ovl':>8s}")
+    for r in rows:
+        extra = (f" {r['cam_max_dev']:8.5f} {r['cam_mean_dev']:9.6f} "
+                 f"{r['top16_overlap']:8.3f}") if "cam_max_dev" in r else ""
+        print(f"{r['mode']:38s} {r['mAP_196patch']:8.4f} "
+              f"{r['mAP_16patch']:8.4f}{extra}")
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,25 @@ def test_full_model_pallas_rollout_matches_xla():
                                np.asarray(ref.rollout_row), atol=1e-5)
 
 
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_rollout_post_matches_carry(impl):
+    """cfg.rollout_post (post-scan reversed vector chain over stacked
+    head-mean matrices) == the in-scan joint carry, both impls."""
+    params = vit.init(TINY, jax.random.key(1))
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    cfg = TINY if impl == "xla" else TINY.replace(attn_impl="pallas")
+    ref = vit.apply(params, x, cfg, need_rollout=True)
+    got = vit.apply(params, x, cfg.replace(rollout_post=True),
+                    need_rollout=True)
+    np.testing.assert_allclose(np.asarray(got.rollout_row),
+                               np.asarray(ref.rollout_row), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.logits),
+                               np.asarray(ref.logits), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.top_patch_idx),
+                                  np.asarray(ref.top_patch_idx))
+
+
 def test_pallas_train_step_grads_match_xla():
     """Training through the Pallas path (custom VJP, XLA-recompute backward)
     must produce the same gradients as the pure-XLA path."""

@@ -87,6 +87,15 @@ class ViTCAMConfig:
     # the activation tile in-kernel (no int8 activation copy in HBM) and
     # uses the 2x int8 MXU path.  Off = XLA qlinear (ops/quant.py).
     int8_fused_gemm: bool = False
+    # serving: compute the rollout CAM as a post-scan reversed vector chain
+    # over the stacked per-layer head-mean matrices instead of carrying the
+    # [B, N, N] joint product through the scan.  The final CAM is ROW 0 of
+    # J = A_12 @ ... @ A_1 (predict.py:222-232), so
+    # row = ((e_cls A_12) A_11) ... A_1 is a [B, N] vector-matrix chain:
+    # each scan layer then only WRITES its head-mean matrix (no [N, N] read,
+    # no [N, N] x [N, N] matmul in the hot loop).  Same math, different
+    # association order.  Inference-only knob.
+    rollout_post: bool = False
 
     @property
     def grid_size(self) -> int:

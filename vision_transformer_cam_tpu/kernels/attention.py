@@ -227,12 +227,12 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
                                              "mask_value", "with_headmean",
                                              "interpret", "block_b",
-                                             "clamp_softmax"))
+                                             "clamp_softmax", "hm_dtype"))
 def masked_attention_fused(qkv, bg, joint=None, *, num_heads: int,
                            scale: float, mask_value: float = -100.0,
                            with_headmean: bool = False,
                            interpret: bool = False, block_b: int = 1,
-                           clamp_softmax: bool = False):
+                           clamp_softmax: bool = False, hm_dtype=None):
     # block_b > 1 measured slightly slower at ViT-B sizes (3279 vs 3365
     # img/s end-to-end); kept as a tuning knob for other shapes.
     """qkv: [B, N, 3C] (the fused qkv projection, layout [q|k|v] with heads
@@ -274,7 +274,8 @@ def masked_attention_fused(qkv, bg, joint=None, *, num_heads: int,
         out_shape.append(jax.ShapeDtypeStruct((b, n, n), joint.dtype))
     elif with_headmean:
         out_specs.append(nn_spec)
-        out_shape.append(jax.ShapeDtypeStruct((b, n, n), qkv.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((b, n, n),
+                                              hm_dtype or qkv.dtype))
 
     res = pl.pallas_call(
         kernel,
@@ -584,7 +585,8 @@ def _fused_bwd(num_heads, scale, mask_value, clamp_softmax, residuals,
 fused_attention_diff.defvjp(_fused_fwd, _fused_bwd)
 
 
-def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None):
+def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
+                     hm_dtype=None):
     """Drop-in for models.vit._attention_xla (same signature/returns) using
     the fused kernel.  Falls back to the XLA path when the caller needs the
     per-head probability tensors (predict/validate visualization) or dropout
@@ -605,11 +607,11 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None):
             interpret=jax.default_backend() != "tpu")
         hm = None
     elif need_probs == "headmean":
-        # visualization path: emit the head-mean matrix
+        # visualization / post-scan-rollout path: emit the head-mean matrix
         out, cls_row, hm = masked_attention_fused(
             qkv, bg, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, with_headmean=True,
-            clamp_softmax=cfg.softmax_clamp,
+            clamp_softmax=cfg.softmax_clamp, hm_dtype=hm_dtype,
             interpret=jax.default_backend() != "tpu")
     else:
         out, cls_row = fused_attention_diff(qkv, bg, cfg.num_heads,

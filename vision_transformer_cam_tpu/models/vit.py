@@ -214,7 +214,7 @@ def patch_embed(params, x, cfg: ViTCAMConfig):
 
 
 def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs,
-                   joint=None):
+                   joint=None, hm_dtype=None):
     """Reference-shaped attention (vit_model.py:103-140), XLA path.
 
     bg: [B, N] float {0,1} background indicator (cls position always 0);
@@ -245,6 +245,8 @@ def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs,
         out = _dropout(rngs.get("proj"), cfg.drop_ratio, out)
     ph = probs if need_probs == "perhead" else None
     hm = headmean if need_probs else None
+    if hm is not None and hm_dtype is not None:
+        hm = hm.astype(hm_dtype)
     return out, cls_row, hm, ph, None
 
 
@@ -308,8 +310,14 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
     # under bf16 serving (bf16 J roughly doubles the CAM's deviation from the
     # f32 path; the f32 carry costs ~1% throughput)
     rollout_dtype = jnp.float32 if cfg.dtype == jnp.bfloat16 else cfg.dtype
+    # rollout_post: only the final ROW of J is needed, so each layer just
+    # emits its head-mean matrix and a reversed [B, N] vector-matrix chain
+    # runs after the scan — no [N, N] joint carry in the hot loop.
+    rollout_post = (need_rollout and cfg.rollout_post and not train
+                    and not (need_headmean or need_perhead))
+    carry_rollout = need_rollout and not rollout_post
     joint0 = jnp.broadcast_to(jnp.eye(n, dtype=rollout_dtype), (b, n, n)) \
-        if need_rollout else jnp.zeros((), cfg.dtype)
+        if carry_rollout else jnp.zeros((), cfg.dtype)
 
     def body(carry, xs):
         tok, bg, joint = carry
@@ -323,7 +331,7 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         xn = _layer_norm(tok, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.ln_eps)
         # kernel-fused rollout only when the head-mean matrices aren't also
         # being collected (the kernel emits one [N,N] output per call)
-        fuse_rollout = need_rollout and not (need_headmean or need_perhead)
+        fuse_rollout = carry_rollout and not (need_headmean or need_perhead)
         # v3 whole-sub-block kernel (qkv GEMM + attention + proj + residual
         # in one program): inference, float weights, no stacked probs needed
         use_block_kernel = (cfg.attn_impl == "pallas"
@@ -348,7 +356,8 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         else:
             o, cls_row, hm, ph, newj = attn_impl(
                 lp["attn"], xn, bg, cfg, rngs, need_probs,
-                joint=joint if fuse_rollout else None)
+                joint=joint if fuse_rollout else None,
+                hm_dtype=rollout_dtype if rollout_post else None)
             if use_rng:
                 o = _drop_path(rngs["dp1"], dp, o)
             tok = tok + o
@@ -388,7 +397,7 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         _, new_bg = _mask_from_cls_row(cls_row, cfg)
         bg = jnp.where(i >= cfg.mask_from, new_bg, bg)
 
-        if need_rollout:
+        if carry_rollout:
             if newj is not None:      # kernel-fused rollout update
                 joint = newj
             else:
@@ -400,7 +409,8 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                         jnp.float32, joint.dtype)).astype(joint.dtype)
 
         outs = (cls_row,
-                hm if need_headmean or need_perhead else jnp.zeros((), cfg.dtype),
+                hm if (need_headmean or need_perhead or rollout_post)
+                else jnp.zeros((), cfg.dtype),
                 ph if need_perhead else jnp.zeros((), cfg.dtype),
                 tok if need_blocks else jnp.zeros((), cfg.dtype))
         return (tok, bg, joint), outs
@@ -412,6 +422,23 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         body = jax.checkpoint(body, prevent_cse=False)
     (tokens, _, joint), (cls_rows, hms, phs, blocks_out) = jax.lax.scan(
         body, (tokens, bg0, joint0), (params["blocks"], layer_idx, dpr))
+
+    rollout_row = None
+    if carry_rollout:
+        rollout_row = joint[:, 0, :]
+    elif rollout_post:
+        # row = ((e_cls A_L) A_{L-1}) ... A_1 with A_l = (hm_l + I)/2 (rows
+        # of hm sum to 1, so (A+I) row-normalizes to exactly /2); reversed
+        # vector-matrix chain in f32 over the stacked head-mean matrices.
+        r0 = jnp.zeros((b, n), jnp.float32).at[:, 0].set(1.0)
+
+        def chain(r, hm_l):
+            prod = jnp.einsum("bn,bnm->bm", r, hm_l.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            return 0.5 * (prod + r), None
+
+        r, _ = jax.lax.scan(chain, r0, hms, reverse=True)
+        rollout_row = r.astype(rollout_dtype)
 
     # --- top-K high-weight patch head (vit_model.py:363-394) ---
     mask14, _ = _mask_from_cls_row(cls_rows[-1], cfg)
@@ -435,7 +462,7 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                             + params["pre_logits"]["bias"])
 
     aux = dict(
-        rollout_row=joint[:, 0, :] if need_rollout else None,
+        rollout_row=rollout_row,
         tokens_prenorm=tokens,
         attn_cls_rows=cls_rows,
         attn_headmean=hms if (need_headmean or need_perhead) else None,
