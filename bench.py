@@ -101,8 +101,20 @@ def main():
         cfg = cfg.replace(int8_fused_gemm=True)
     if "--rollout-post" in sys.argv:
         cfg = cfg.replace(rollout_post=True)
+    # int8 W8A8 serving (static calibrated scales + int8 attention I/O) is
+    # the default headline config — the 5000 img/s target is unreachable in
+    # bf16 (XLA bf16 GEMMs already run at ~95% of MXU peak; see
+    # BENCHMARKS.md).  --bf16 / --f32 opt out; fidelity of every serving
+    # mode vs the exact f32 path is characterized in BENCHMARKS.md and the
+    # exact math is pinned by the f64 goldens in tests/.
+    use_int8 = ("--int8" in sys.argv
+                or not ("--bf16" in sys.argv or "--f32" in sys.argv))
+    if use_int8 and "--no-int8-attn" not in sys.argv:
+        cfg = cfg.replace(int8_attn_io=True)
+    if "--int8-attn" in sys.argv:
+        cfg = cfg.replace(int8_attn_io=True)
     params = vit.init(cfg, jax.random.key(0))
-    if "--int8" in sys.argv:
+    if use_int8:
         from vision_transformer_cam_tpu.ops.quant import (
             calibrate_act_scales, quantize_params)
         scales = None

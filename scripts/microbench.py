@@ -177,6 +177,40 @@ def main():
             print(f"gemms-fused-int8: {ms:.2f} ms/block "
                   f"({ms * DEPTH:.1f} ms per model)")
 
+    elif variant in ("dots-bf16", "dots-int8", "dots-int8-dq"):
+        # pure GEMM rate isolation: pre-quantized inputs, no quantize pass;
+        # -dq adds only the int32->scaled-bf16 dequant epilogue
+        m = B * N
+        shapes = [(C, 3 * C), (C, C), (C, HID), (HID, C)]
+        if variant == "dots-bf16":
+            ws = [jax.random.normal(jax.random.key(i), s, dt) * 0.02
+                  for i, s in enumerate(shapes)]
+            xs = [jax.random.normal(jax.random.key(10 + i), (m, s[0]), dt)
+                  for i, s in enumerate(shapes)]
+
+            def f(*xs):
+                return [jnp.dot(x, w, preferred_element_type=dt)
+                        for x, w in zip(xs, ws)]
+        else:
+            ws = [jax.random.randint(jax.random.key(i), s, -127, 127,
+                                     jnp.int8) for i, s in enumerate(shapes)]
+            xs = [jax.random.randint(jax.random.key(10 + i), (m, s[0]),
+                                     -127, 127, jnp.int8)
+                  for i, s in enumerate(shapes)]
+            dq = variant == "dots-int8-dq"
+
+            def f(*xs):
+                outs = []
+                for x, w in zip(xs, ws):
+                    acc = jnp.dot(x, w, preferred_element_type=jnp.int32)
+                    if dq:
+                        acc = (acc.astype(jnp.float32) * 7.8e-5).astype(dt)
+                    outs.append(acc)
+                return outs
+        ms = timeit(jax.jit(f), *xs)
+        print(f"{variant}: {ms:.2f} ms/block dots  "
+              f"({ms * DEPTH:.1f} ms per 12-layer model)")
+
     elif variant == "ln":
         from vision_transformer_cam_tpu.models.vit import _layer_norm
         x = jax.random.normal(key, (B, N, C), dt)

@@ -88,3 +88,68 @@ def test_static_calibrated_quantization():
     b = np.asarray(got.logits).ravel()
     cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.99
+
+
+def test_int8_attn_io_kernel_matches_dequant_reference():
+    """masked_attention_fused with int8 qkv (+scales) == dequantize-then-
+    float-attention followed by int8 output quantization, interpret mode."""
+    from vision_transformer_cam_tpu.kernels.attention import (
+        masked_attention_fused)
+    rng = np.random.default_rng(11)
+    b, h, n, dh = 2, 4, 37, 16
+    c = h * dh
+    qkv_i8 = jnp.asarray(rng.integers(-127, 128, (b, n, 3 * c)), jnp.int8)
+    bg = jnp.asarray(rng.random((b, n)) < 0.3, jnp.float32)
+    bg = bg.at[:, 0].set(0.0)
+    sq, sk, sv, s_out = 0.011, 0.017, 0.023, 0.05
+    scales = jnp.asarray([sq, sk, sv, 1.0 / s_out], jnp.float32)
+    got, cls_got = masked_attention_fused(
+        qkv_i8, bg, None, scales, num_heads=h, scale=0.25,
+        float_dtype=jnp.float32, interpret=True)
+    assert got.dtype == jnp.int8
+
+    # float reference on the dequantized operands
+    qkv_f = np.asarray(qkv_i8, np.float32)
+    q = (qkv_f[:, :, :c] * sq).reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    k = (qkv_f[:, :, c:2 * c] * sk).reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    v = (qkv_f[:, :, 2 * c:] * sv).reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+    pair = np.minimum(np.asarray(bg)[:, :, None] + np.asarray(bg)[:, None, :],
+                      1.0)
+    s = s + (-100.0 * pair)[:, None]
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    out = np.einsum("bhqk,bhkd->bhqd", p, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+    ref_i8 = np.clip(np.round(out / s_out), -127, 127).astype(np.int8)
+    # the kernel runs PV with bf16 probabilities (as the bf16 serving path
+    # does), so a small fraction of outputs sits one quantum off the f32
+    # reference; never more than one
+    diff = np.abs(np.asarray(got, np.int32) - ref_i8.astype(np.int32))
+    assert (diff <= 1).all()
+    assert (diff == 0).mean() > 0.97
+    cls_ref = p.mean(1)[:, 0, :]
+    np.testing.assert_allclose(np.asarray(cls_got), cls_ref, atol=1e-5)
+
+
+def test_int8_attn_io_model_forward_close():
+    """Full model with cfg.int8_attn_io: same accuracy class as plain int8
+    quantization; CAM machinery runs; output plumbing intact."""
+    params = vit.init(TINY, jax.random.key(0))
+    rng = np.random.default_rng(12)
+    calib = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    scales = quant.calibrate_act_scales(params, TINY, calib)
+    assert scales["blocks"]["qkv_out"].shape == (TINY.depth, 3)
+    qparams = quant.quantize_params(params, act_scales=scales)
+    assert qparams["blocks"]["attn"]["qkv"]["out_scales"].shape == \
+        (TINY.depth, 3)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    cfg = TINY.replace(attn_impl="pallas", int8_attn_io=True)
+    ref = vit.apply(params, x, TINY, need_rollout=True)
+    got = vit.apply(qparams, x, cfg, need_rollout=True)
+    a = np.asarray(ref.logits).ravel()
+    b = np.asarray(got.logits).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99
+    assert np.isfinite(np.asarray(got.rollout_row)).all()
+    assert np.isfinite(np.asarray(got.head1_logits)).all()

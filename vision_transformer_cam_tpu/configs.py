@@ -87,6 +87,13 @@ class ViTCAMConfig:
     # the activation tile in-kernel (no int8 activation copy in HBM) and
     # uses the 2x int8 MXU path.  Off = XLA qlinear (ops/quant.py).
     int8_fused_gemm: bool = False
+    # serving: int8 attention I/O — the qkv GEMM requantizes its output to
+    # int8 (per-layer calibrated q/k/v scales), S = QK^T runs on the int8
+    # MXU path inside the attention kernel (operands pre-quantized: no
+    # quantize pass, unlike the measured-slower dynamic variant), and the
+    # kernel emits int8 for the downstream int8 proj GEMM.  Requires
+    # quantize_params(act_scales=...) params.  Softmax/mask/rollout stay f32.
+    int8_attn_io: bool = False
     # serving: compute the rollout CAM as a post-scan reversed vector chain
     # over the stacked per-layer head-mean matrices instead of carrying the
     # [B, N, N] joint product through the scan.  The final CAM is ROW 0 of

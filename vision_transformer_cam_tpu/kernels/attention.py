@@ -141,22 +141,36 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
       with_rollout  — consume the rollout joint J_{l-1} and emit
                       J_l = (hm @ J + J) / 2, the row-normalized (A+I)
                       product (rows of hm sum to 1, so the (A+I) row sum is
-                      exactly 2) — the head-mean matrix never leaves VMEM.
+                      exactly 2) — the head-mean matrix never leaves VMEM;
+      int8_io       — qkv is the int8 REQUANTIZED qkv-GEMM output: S = QK^T
+                      runs on the int8 MXU path directly (the operands are
+                      pre-quantized, so unlike the measured-slower in-kernel
+                      dynamic quantization there is no quantize pass), V is
+                      dequantized in-VMEM, and the output is written int8
+                      for the downstream int8 proj GEMM.  Scales arrive as
+                      an SMEM [1,4] tensor (sq, sk, sv, 1/s_out).
     """
     scale, mask_value = kw["scale"], kw["mask_value"]
     h, dh = kw["num_heads"], kw["head_dim"]
     qb_size, clamp = kw["q_block"], kw["clamp_softmax"]
+    int8_io = kw["int8_io"]
+    rest = list(rest)
+    joint_ref = rest.pop(0) if kw["with_rollout"] else None
+    sc_ref = rest.pop(0) if int8_io else None
     if kw["with_rollout"]:
-        joint_ref, o_ref, cls_ref, newj_ref = rest
+        o_ref, cls_ref, newj_ref = rest
         hm_ref = ()
     elif kw["with_headmean"]:
-        joint_ref = newj_ref = None
+        newj_ref = None
         o_ref, cls_ref, hm = rest
         hm_ref = (hm,)
     else:
-        joint_ref = newj_ref = None
+        newj_ref = None
         o_ref, cls_ref = rest
         hm_ref = ()
+    if int8_io:
+        sq, sk = sc_ref[0, 0], sc_ref[0, 1]
+        sv, inv_out = sc_ref[0, 2], sc_ref[0, 3]
     bb, n, _ = qkv_ref.shape
     c = h * dh
     # static query-block ranges (last block may be short) — keeps the live
@@ -180,9 +194,16 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
                 q = qkv_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh]
                 k = qkv_ref[b, :, c + i * dh:c + (i + 1) * dh]
                 v = qkv_ref[b, :, 2 * c + i * dh:2 * c + (i + 1) * dh]
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale  # [QB, N]
+                if int8_io:
+                    s32 = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)    # int8 MXU path
+                    s = s32.astype(jnp.float32) * (sq * sk * scale)
+                    v = (v.astype(jnp.float32) * sv).astype(jnp.bfloat16)
+                else:
+                    s = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale  # [QB, N]
                 s = s + fg_q[:, None] * key_mask[None, :]
                 if clamp:
                     # serving mode: upper-clamp instead of the row-max
@@ -206,6 +227,8 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
                     # instead of the [QB, N] probabilities
                     ov = jnp.dot(e.astype(v.dtype), v,
                                  preferred_element_type=jnp.float32) / denom
+                if int8_io:
+                    ov = jnp.clip(jnp.round(ov * inv_out), -127.0, 127.0)
                 o_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh] = \
                     ov.astype(o_ref.dtype)
             if q0 == 0:
@@ -227,22 +250,35 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
                                              "mask_value", "with_headmean",
                                              "interpret", "block_b",
-                                             "clamp_softmax", "hm_dtype"))
-def masked_attention_fused(qkv, bg, joint=None, *, num_heads: int,
+                                             "clamp_softmax", "hm_dtype",
+                                             "float_dtype"))
+def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
+                           num_heads: int,
                            scale: float, mask_value: float = -100.0,
                            with_headmean: bool = False,
                            interpret: bool = False, block_b: int = 1,
-                           clamp_softmax: bool = False, hm_dtype=None):
+                           clamp_softmax: bool = False, hm_dtype=None,
+                           float_dtype=jnp.bfloat16):
     # block_b > 1 measured slightly slower at ViT-B sizes (3279 vs 3365
     # img/s end-to-end); kept as a tuning knob for other shapes.
     """qkv: [B, N, 3C] (the fused qkv projection, layout [q|k|v] with heads
     contiguous inside each); bg: [B, N].  Returns (out [B, N, C],
     cls_row [B, N][, headmean or new_joint [B, N, N]]).  Passing `joint`
     (the rollout product J_{l-1}) fuses the rollout update in-kernel and
-    returns J_l instead of the head-mean matrix."""
+    returns J_l instead of the head-mean matrix.
+
+    int8 serving I/O: when qkv is int8 (the requantized qkv-GEMM output),
+    pass `scales` = [sq, sk, sv, 1/s_out] f32; S = QK^T then runs on the
+    int8 MXU path, V dequantizes in-VMEM and `out` is int8 (scale s_out)
+    for the downstream int8 proj GEMM.  cls_row/headmean stay float
+    (float_dtype)."""
     b, n, c3 = qkv.shape
     c = c3 // 3
     dh = c // num_heads
+    int8_io = qkv.dtype == jnp.int8
+    if int8_io and scales is None:
+        raise ValueError("int8 qkv requires the scales vector")
+    f_dtype = float_dtype if int8_io else qkv.dtype
     while b % block_b:
         block_b //= 2
     bb = max(block_b, 1)
@@ -253,7 +289,8 @@ def masked_attention_fused(qkv, bg, joint=None, *, num_heads: int,
                                head_dim=dh, q_block=min(n, 512),
                                clamp_softmax=clamp_softmax,
                                with_rollout=joint is not None,
-                               with_headmean=with_headmean)
+                               with_headmean=with_headmean,
+                               int8_io=int8_io)
     qkv_spec = pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0),
@@ -266,7 +303,7 @@ def masked_attention_fused(qkv, bg, joint=None, *, num_heads: int,
     inputs = [qkv, bgk]
     out_specs = [o_spec, row_spec]
     out_shape = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
-                 jax.ShapeDtypeStruct((b, 1, n), qkv.dtype)]
+                 jax.ShapeDtypeStruct((b, 1, n), f_dtype)]
     if joint is not None:
         in_specs.append(nn_spec)
         inputs.append(joint)
@@ -275,7 +312,11 @@ def masked_attention_fused(qkv, bg, joint=None, *, num_heads: int,
     elif with_headmean:
         out_specs.append(nn_spec)
         out_shape.append(jax.ShapeDtypeStruct((b, n, n),
-                                              hm_dtype or qkv.dtype))
+                                              hm_dtype or f_dtype))
+    if int8_io:
+        in_specs.append(pl.BlockSpec((1, 4), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(scales, jnp.float32).reshape(1, 4))
 
     res = pl.pallas_call(
         kernel,
@@ -597,22 +638,47 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
         return _attention_xla(ap, x, bg, cfg, rngs, need_probs)
     from vision_transformer_cam_tpu.models.vit import _linear
     b, n, c = x.shape
-    qkv = _linear(x, ap["qkv"], cfg)
+    # int8 attention I/O (serving): the qkv GEMM requantizes its output to
+    # int8 in the epilogue, S = QK^T runs on the int8 MXU path in-kernel,
+    # and the kernel's int8 output feeds the int8 proj GEMM directly —
+    # the bf16 qkv/attn-out tensors and the proj-input quantize pass never
+    # exist in HBM.
+    int8_io = (cfg.int8_attn_io and rngs is None
+               and "kernel_q" in ap["qkv"] and "out_scales" in ap["qkv"]
+               and "act_scale" in ap["proj"])
+    scales = None
+    if int8_io:
+        from vision_transformer_cam_tpu.ops.quant import qlinear_requant
+        osc = ap["qkv"]["out_scales"]
+        qkv = qlinear_requant(x, ap["qkv"], osc)
+        scales = jnp.stack([osc[0], osc[1], osc[2],
+                            1.0 / ap["proj"]["act_scale"]])
+    else:
+        qkv = _linear(x, ap["qkv"], cfg)
     newj = None
     if joint is not None:
         # in-kernel rollout update: headmean never leaves VMEM
         out, cls_row, newj = masked_attention_fused(
-            qkv, bg, joint, num_heads=cfg.num_heads, scale=cfg.scale,
+            qkv, bg, joint, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
+            float_dtype=cfg.dtype,
             interpret=jax.default_backend() != "tpu")
         hm = None
     elif need_probs == "headmean":
         # visualization / post-scan-rollout path: emit the head-mean matrix
         out, cls_row, hm = masked_attention_fused(
-            qkv, bg, num_heads=cfg.num_heads, scale=cfg.scale,
+            qkv, bg, None, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, with_headmean=True,
             clamp_softmax=cfg.softmax_clamp, hm_dtype=hm_dtype,
+            float_dtype=cfg.dtype,
             interpret=jax.default_backend() != "tpu")
+    elif int8_io:
+        out, cls_row = masked_attention_fused(
+            qkv, bg, None, scales, num_heads=cfg.num_heads, scale=cfg.scale,
+            mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
+            float_dtype=cfg.dtype,
+            interpret=jax.default_backend() != "tpu")
+        hm = None
     else:
         out, cls_row = fused_attention_diff(qkv, bg, cfg.num_heads,
                                             cfg.scale, cfg.mask_value,

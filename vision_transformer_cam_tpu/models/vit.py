@@ -182,7 +182,8 @@ def _linear(x, p, cfg):
     cfg.int8_fused_gemm and a static act_scale, the quantize runs inside a
     Pallas kernel (kernels/gemm.linear_int8_fused) instead of XLA."""
     if "kernel_q" in p:
-        if cfg.int8_fused_gemm and "act_scale" in p:
+        if cfg.int8_fused_gemm and "act_scale" in p \
+                and x.dtype != jnp.int8:
             from vision_transformer_cam_tpu.kernels.gemm import (
                 linear_int8_fused)
             cs = (p["scale"].reshape(1, -1)

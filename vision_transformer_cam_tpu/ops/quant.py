@@ -38,13 +38,19 @@ def qlinear(x, qp, bias=None, out_dtype=jnp.bfloat16):
     when present — no reduction pass at serving time; dynamic per-tensor
     absmax otherwise.
     """
-    if "act_scale" in qp:
+    if x.dtype == jnp.int8:
+        # input already quantized upstream (e.g. the attention kernel's
+        # int8 output); act_scale IS its scale by construction
+        xq, sx = x, qp["act_scale"]
+    elif "act_scale" in qp:
         sx = qp["act_scale"]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                      ).astype(jnp.int8)
     else:
         sx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))),
                          1e-8) / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
-                  ).astype(jnp.int8)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                      ).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, qp["kernel_q"],
         (((x.ndim - 1,), (qp["kernel_q"].ndim - 2,)), ((), ())),
@@ -54,6 +60,20 @@ def qlinear(x, qp, bias=None, out_dtype=jnp.bfloat16):
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+def qlinear_requant(x, qp, out_scales, groups: int = 3):
+    """int8 GEMM whose output is REQUANTIZED to int8 in the (XLA-fused)
+    epilogue: y_i8 = round((acc*cs + b) / s_out) — no bf16 materialization
+    between the qkv GEMM and the attention kernel.
+
+    out_scales: [groups] f32, one scale per contiguous output group (q|k|v
+    thirds of the qkv projection).  Bias is applied before requantization.
+    """
+    n_out = qp["kernel_q"].shape[-1]
+    y = qlinear(x, qp, qp.get("bias"), out_dtype=jnp.float32)
+    s_col = jnp.repeat(out_scales.astype(jnp.float32), n_out // groups)
+    return jnp.clip(jnp.round(y / s_col), -127, 127).astype(jnp.int8)
 
 
 _QUANT_KEYS = ("qkv", "proj", "fc1", "fc2")
@@ -80,6 +100,9 @@ def quantize_params(params, act_scales=None):
     ab = a.get("blocks", {})
     out["blocks"]["attn"]["qkv"] = q(blocks["attn"]["qkv"],
                                      ab.get("qkv"))
+    if "qkv_out" in ab:
+        # per-layer (q, k, v) output scales for the int8 attention I/O path
+        out["blocks"]["attn"]["qkv"]["out_scales"] = ab["qkv_out"]
     out["blocks"]["attn"]["proj"] = q(blocks["attn"]["proj"],
                                       ab.get("proj"))
     out["blocks"]["mlp"]["fc1"] = q(blocks["mlp"]["fc1"], ab.get("fc1"))
@@ -104,11 +127,19 @@ def calibrate_act_scales(params, cfg, images, margin: float = 1.0):
 
     bg = jnp.zeros((b, cfg.seq_len), cfg.dtype)
     sc = {"qkv": [], "proj": [], "fc1": [], "fc2": []}
+    qkv_out_amax = []   # per-layer (q, k, v) output absmax — int8 attn I/O
+    c = cfg.embed_dim
     for i in range(cfg.depth):
         lp = jax.tree.map(lambda a: a[i], params["blocks"])
         xn = m._layer_norm(tokens, lp["ln1"]["scale"], lp["ln1"]["bias"],
                            cfg.ln_eps)
         sc["qkv"].append(_absmax(xn))
+        qkv_out = jnp.dot(xn, lp["attn"]["qkv"]["kernel"],
+                          preferred_element_type=cfg.dtype) \
+            + lp["attn"]["qkv"]["bias"]
+        qkv_out_amax.append([_absmax(qkv_out[..., :c]),
+                             _absmax(qkv_out[..., c:2 * c]),
+                             _absmax(qkv_out[..., 2 * c:])])
         o, cls_row, _, _, _ = m._attention_xla(lp["attn"], xn, bg, cfg,
                                                None, None)
         # proj input absmax: recompute the pre-proj tensor
@@ -130,9 +161,12 @@ def calibrate_act_scales(params, cfg, images, margin: float = 1.0):
     def to_scale(v):
         return float(v) * margin / 127.0
 
-    return {"patch_embed": to_scale(s_patch),
-            "blocks": {k: jnp.asarray([to_scale(v) for v in sc[k]],
-                                      jnp.float32) for k in sc}}
+    out = {"patch_embed": to_scale(s_patch),
+           "blocks": {k: jnp.asarray([to_scale(v) for v in sc[k]],
+                                     jnp.float32) for k in sc}}
+    out["blocks"]["qkv_out"] = jnp.asarray(
+        [[to_scale(v) for v in row] for row in qkv_out_amax], jnp.float32)
+    return out
 
 
 def _absmax(x):
