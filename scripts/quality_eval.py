@@ -145,9 +145,9 @@ def main():
     pq = quantize_params(pbf, act_scales=scales)
     rows.append(eval_mode("int8 W8A8 static (serving)", pq, bf, images,
                           labels, truth))
-    bf_fused = bf.replace(mlp_fusion=True, int8_fused_gemm=True)
-    rows.append(eval_mode("int8 fused-kernel (serving)", pq, bf_fused,
-                          images, labels, truth))
+    rows.append(eval_mode("int8 + attn I/O (bench default)", pq,
+                          bf.replace(int8_attn_io=True), images, labels,
+                          truth))
 
     print(f"\n{'mode':38s} {'mAP_196':>8s} {'mAP_16':>8s} "
           f"{'camMaxD':>8s} {'camMeanD':>9s} {'top16ovl':>8s}")
