@@ -6,6 +6,8 @@ invocation (first compile is slow; run ONE TPU process at a time):
 
   python scripts/microbench.py attn          # fused v2 kernel, one layer
   python scripts/microbench.py attn-rollout  # v2 + in-kernel rollout update
+  python scripts/microbench.py attn-int8 [block_b]   # int8 serving I/O path
+  python scripts/microbench.py attn-int8-rollout     # int8 I/O + rollout
   python scripts/microbench.py gemms         # the 4 per-block GEMMs, XLA bf16
   python scripts/microbench.py gemms-int8    # same, XLA int8 W8A8 static
   python scripts/microbench.py ln            # the 2 per-block LayerNorms
@@ -67,7 +69,28 @@ def main():
             return masked_attention_fused(
                 qkv, bg, joint, num_heads=H, scale=SCALE,
                 with_headmean=variant == "attn-headmean",
-                clamp_softmax=True)
+                clamp_softmax=True,
+                block_b=int(sys.argv[2]) if len(sys.argv) > 2 else 1)
+
+        ms = timeit(jax.jit(f), qkv, bg)
+        print(f"{variant}: {ms:.2f} ms/layer-call  "
+              f"({ms * DEPTH:.1f} ms per 12-layer model)")
+
+    elif variant in ("attn-int8", "attn-int8-rollout"):
+        from vision_transformer_cam_tpu.kernels.attention import (
+            masked_attention_fused)
+        qkv = jax.random.randint(key, (B, N, 3 * C), -127, 127, jnp.int8)
+        bg = (jax.random.uniform(jax.random.key(1), (B, N)) < 0.3
+              ).astype(jnp.float32)
+        joint = jnp.broadcast_to(jnp.eye(N, dtype=jnp.float32), (B, N, N)) \
+            if variant.endswith("rollout") else None
+        scales = jnp.asarray([0.02, 0.02, 0.02, 1 / 0.05], jnp.float32)
+
+        def f(qkv, bg):
+            return masked_attention_fused(
+                qkv, bg, joint, scales, num_heads=H, scale=SCALE,
+                clamp_softmax=True,
+                block_b=int(sys.argv[2]) if len(sys.argv) > 2 else 1)
 
         ms = timeit(jax.jit(f), qkv, bg)
         print(f"{variant}: {ms:.2f} ms/layer-call  "

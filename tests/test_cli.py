@@ -221,3 +221,19 @@ def test_train_cli_resume(voc_tree, tmp_path, tiny_zoo, monkeypatch):
     assert int(s1.step) == 2
     s2 = tcli.main(args + ["--resume"])
     assert int(s2.step) == 4  # resumed at 2, ran 2 more
+
+
+def test_validate_cli_serving_int8(voc_tree, tmp_path, tiny_zoo, monkeypatch):
+    """--serving int8: bf16 + W8A8 + int8 attention I/O, calibrated on the
+    split's own images; pseudo-seg pipeline still produces finite metrics."""
+    from vision_transformer_cam_tpu.cli import validate as vcli
+    monkeypatch.chdir(tmp_path)
+    res = vcli.main(["--model_name", tiny_zoo,
+                     "--dataset_path", str(voc_tree),
+                     "--val_img_name_path", str(voc_tree / "split.txt"),
+                     "--batch_size", "2", "--attn_impl", "pallas",
+                     "--serving", "int8",
+                     "--seg_pred_dir", str(tmp_path / "sp8")])
+    assert np.isfinite(res["mIoU"]) and np.isfinite(res["global_acc"])
+    # labels come from the XML fallback (no --cls_labels_path given)
+    assert np.isfinite(res["mAP"])

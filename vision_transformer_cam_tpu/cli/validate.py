@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true",
                    help="shard each batch over all devices (batch_size must "
                         "divide by the device count)")
+    p.add_argument("--serving", type=str, default="off",
+                   choices=["off", "bf16", "int8"],
+                   help="fast serving config: off = reference-parity f32; "
+                        "bf16 = bf16 + tanh GELU + clamp softmax; int8 adds "
+                        "W8A8 GEMMs + int8 attention I/O, calibrated on the "
+                        "first images of the split (quality deltas: "
+                        "BENCHMARKS.md — <= 0.001 mAP)")
     return p
 
 
@@ -89,6 +96,23 @@ def val(args) -> dict:
                       cls_labels_path=args.cls_labels_path or None,
                       seg_label_flag=True, img_size=cfg.img_size)
     loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+
+    if args.serving != "off":
+        import jax.numpy as jnp
+        cfg = cfg.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                          gelu_approx=True, softmax_clamp=True)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+        if args.serving == "int8":
+            from vision_transformer_cam_tpu.ops.quant import (
+                calibrate_act_scales, quantize_params)
+            calib = np.stack([ds[i]["image"]
+                              for i in range(min(8, len(ds)))])
+            scales = calibrate_act_scales(params, cfg,
+                                          jnp.asarray(calib, jnp.float32))
+            params = quantize_params(params, act_scales=scales)
+            cfg = cfg.replace(int8_attn_io=True)
 
     mesh = sharding = None
     if args.data_parallel:

@@ -110,6 +110,14 @@ class VOC12Dataset:
         if cls_labels_path:
             self.label_list = load_image_label_list_from_npy(
                 self.img_name_list, cls_labels_path)
+        elif os.path.isdir(os.path.join(voc12_root, ANNOT_FOLDER_NAME)):
+            # Divergence from the reference, which hardcodes a pregenerated
+            # voc12/cls_labels.npy (voc12/data.py:47) and crashes without it:
+            # fall back to reading the multi-hot labels straight from the
+            # annotation XMLs (the same source make_cls_labels caches), so
+            # mAP works out of the box on a stock VOC tree.
+            self.label_list = load_image_label_list_from_xml(
+                self.img_name_list, voc12_root)
 
     def __len__(self):
         return len(self.img_name_list)
