@@ -94,6 +94,11 @@ class ViTCAMConfig:
     # kernel emits int8 for the downstream int8 proj GEMM.  Requires
     # quantize_params(act_scales=...) params.  Softmax/mask/rollout stay f32.
     int8_attn_io: bool = False
+    # images per attention-kernel program.  0 = auto: 2 under int8 I/O
+    # (the int8 qkv block is half the bf16 VMEM, and block_b=2 measured
+    # 4.38 vs 4.58 ms/layer with rollout), 1 otherwise (bf16 measured
+    # slower at block_b>1: 3279 vs 3365 img/s end-to-end).
+    attn_block_b: int = 0
     # serving: compute the rollout CAM as a post-scan reversed vector chain
     # over the stacked per-layer head-mean matrices instead of carrying the
     # [B, N, N] joint product through the scan.  The final CAM is ROW 0 of

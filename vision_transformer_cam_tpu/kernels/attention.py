@@ -656,12 +656,15 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
     else:
         qkv = _linear(x, ap["qkv"], cfg)
     newj = None
+    # cfg.attn_block_b == 0 -> auto: 2 images/program under int8 I/O (half
+    # the VMEM per image; measured faster), 1 for bf16 (measured slower >1)
+    bb = cfg.attn_block_b or (2 if int8_io else 1)
     if joint is not None:
         # in-kernel rollout update: headmean never leaves VMEM
         out, cls_row, newj = masked_attention_fused(
             qkv, bg, joint, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
-            float_dtype=cfg.dtype,
+            float_dtype=cfg.dtype, block_b=bb,
             interpret=jax.default_backend() != "tpu")
         hm = None
     elif need_probs == "headmean":
@@ -670,13 +673,13 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
             qkv, bg, None, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, with_headmean=True,
             clamp_softmax=cfg.softmax_clamp, hm_dtype=hm_dtype,
-            float_dtype=cfg.dtype,
+            float_dtype=cfg.dtype, block_b=bb,
             interpret=jax.default_backend() != "tpu")
     elif int8_io:
         out, cls_row = masked_attention_fused(
             qkv, bg, None, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
-            float_dtype=cfg.dtype,
+            float_dtype=cfg.dtype, block_b=bb,
             interpret=jax.default_backend() != "tpu")
         hm = None
     else:

@@ -383,6 +383,18 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             ymlp = mlp_fused(yn, f1["kernel"], f1["bias"], f2["kernel"],
                              f2["bias"], gelu_approx=cfg.gelu_approx,
                              interpret=jax.default_backend() != "tpu")
+        elif "kernel_q" in f1 and "act_scale" in f1 and "act_scale" in f2 \
+                and not use_rng:
+            # int8 serving with static scales: fc1's epilogue emits the
+            # GELU'd hidden tensor already requantized to int8 (fc2's
+            # act_scale), so the [B, N, 4C] intermediate — the model's
+            # largest HBM write — is half the bf16 traffic and fc2 skips
+            # its quantize pass.  Same math as the unfused chain.
+            from vision_transformer_cam_tpu.ops.quant import (
+                qlinear_gelu_requant)
+            hmid = qlinear_gelu_requant(yn, f1, f2["act_scale"],
+                                        gelu_approx=cfg.gelu_approx)
+            ymlp = _linear(hmid, f2, cfg)
         else:
             hmid = _gelu(_linear(yn, f1, cfg), cfg.gelu_approx)
             if use_rng:

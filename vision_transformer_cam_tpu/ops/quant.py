@@ -76,6 +76,20 @@ def qlinear_requant(x, qp, out_scales, groups: int = 3):
     return jnp.clip(jnp.round(y / s_col), -127, 127).astype(jnp.int8)
 
 
+def qlinear_gelu_requant(x, qp, out_scale, gelu_approx=True):
+    """fc1 GEMM -> GELU -> int8 requantize as one (XLA-fused) epilogue
+    chain: the [B, N, hidden] activation reaches HBM as int8 — half the
+    bf16 write traffic on the model's largest intermediate — and the
+    downstream fc2 qlinear sees an int8 input, so its quantize pass
+    disappears.  Mathematically identical to quantizing gelu(fc1(x)) with
+    the static `out_scale` (which IS fc2's act_scale), as the unfused
+    serving path already did; only the materialization changes.
+    """
+    y = qlinear(x, qp, qp.get("bias"), out_dtype=jnp.float32)
+    y = jax.nn.gelu(y, approximate=gelu_approx)
+    return jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
+
+
 _QUANT_KEYS = ("qkv", "proj", "fc1", "fc2")
 
 
