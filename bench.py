@@ -126,6 +126,9 @@ def main():
         params = quantize_params(params, act_scales=scales)
 
     with_cam = "--no-cam" not in sys.argv
+    latency = "--latency" in sys.argv
+    if latency:
+        batch = 1
 
     @jax.jit
     def cam_extract(params, images):
@@ -153,21 +156,36 @@ def main():
 
     # Chain CHUNK async dispatches per timing window and sync once, so the
     # host<->device round-trip latency amortizes out of the measurement.
-    chunk, iters, best = 10, 3, float("inf")
+    # (--latency: batch=1, report the p50 per-window mean as the per-image
+    # device latency — the ~30 ms tunnel RTT is excluded by construction,
+    # matching how an on-device serving loop would see it.)
+    chunk, iters = (10, 15) if latency else (10, 3)
+    windows = []
     for _ in range(iters):
         t0 = time.perf_counter()
         for _ in range(chunk):
             res = cam_extract(params, images)
         sync(res)
-        best = min(best, (time.perf_counter() - t0) / chunk)
+        windows.append((time.perf_counter() - t0) / chunk)
+    best = min(windows)
+
+    kind = "cam_extraction" if with_cam else "multilabel_inference"
+    stem = "vit_b16" if model == "vit_base_patch16_224_in21k" else model
+    if latency:
+        p50 = sorted(windows)[len(windows) // 2] * 1e3
+        # north star is a throughput target; report latency vs the 1-image
+        # slice of it (5000 img/s = 0.2 ms/img) for a consistent ratio
+        print(json.dumps({
+            "metric": f"{stem}_{kind}_p50_latency",
+            "value": round(p50, 3),
+            "unit": "ms/image (device, batch 1)",
+            "vs_baseline": round((1e3 / BASELINE_IMG_PER_S) / p50, 3),
+        }))
+        return
 
     img_per_s = batch / best
-    kind = "cam_extraction" if with_cam else "multilabel_inference"
-    name = f"vit_b16_{kind}_throughput" \
-        if model == "vit_base_patch16_224_in21k" \
-        else f"{model}_{kind}_throughput"
     print(json.dumps({
-        "metric": name,
+        "metric": f"{stem}_{kind}_throughput",
         "value": round(img_per_s, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),

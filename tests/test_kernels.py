@@ -263,3 +263,4 @@ def test_distilled_config_token_offsets():
     want = np.take_along_axis(toks, idx[:, :, None], axis=1)
     np.testing.assert_allclose(np.asarray(out.top_patch_embeds), want,
                                atol=1e-6)
+

@@ -240,6 +240,10 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
                 # J_l rows for this query block: (hm @ J + J) / 2
                 jold = joint_ref[b]                       # [N, N]
                 jrows = joint_ref[b, q0:q0 + qn]
+                # all-f32 product: bf16 multiply operands measured NO
+                # faster (4.44 vs 4.38 ms/layer — the kernel is data-
+                # movement bound) and 13x worse CAM fidelity; see the
+                # dead-ends log in BENCHMARKS.md
                 prod = jnp.dot((hm_acc / h).astype(jold.dtype), jold,
                                preferred_element_type=jnp.float32)
                 newj_ref[b, q0:q0 + qn] = (
@@ -284,9 +288,13 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     bb = max(block_b, 1)
     bgk = bg.astype(jnp.float32)[:, None, :]              # [B, 1, N]
 
+    # long-seq int8: the int8 path keeps an extra [QB, N] int32 S buffer
+    # alive, which pushes N=577 (ViT-L@384) ~0.6 MB over the 16 MB scoped
+    # VMEM limit at QB=512 — halve the query block there (bf16 fits at 512)
+    q_block = min(n, 512 if not (int8_io and n > 512) else 256)
     kernel = functools.partial(_attn_kernel_fused, scale=scale,
                                mask_value=mask_value, num_heads=num_heads,
-                               head_dim=dh, q_block=min(n, 512),
+                               head_dim=dh, q_block=q_block,
                                clamp_softmax=clamp_softmax,
                                with_rollout=joint is not None,
                                with_headmean=with_headmean,
@@ -657,8 +665,10 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
         qkv = _linear(x, ap["qkv"], cfg)
     newj = None
     # cfg.attn_block_b == 0 -> auto: 2 images/program under int8 I/O (half
-    # the VMEM per image; measured faster), 1 for bf16 (measured slower >1)
-    bb = cfg.attn_block_b or (2 if int8_io else 1)
+    # the VMEM per image; measured 4.38 vs 4.58 ms/layer), 1 for bf16
+    # (measured slower >1).  Long sequences stay at 1: at N=577 (ViT-L@384)
+    # two images' qkv + joint blocks exceed the 16 MB scoped VMEM limit.
+    bb = cfg.attn_block_b or (2 if int8_io and n <= 256 else 1)
     if joint is not None:
         # in-kernel rollout update: headmean never leaves VMEM
         out, cls_row, newj = masked_attention_fused(
