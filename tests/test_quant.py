@@ -153,3 +153,38 @@ def test_int8_attn_io_model_forward_close():
     assert cos > 0.99
     assert np.isfinite(np.asarray(got.rollout_row)).all()
     assert np.isfinite(np.asarray(got.head1_logits)).all()
+
+
+def test_apply_serving_mode():
+    """serving.apply_serving_mode: the one-call production config — 'off'
+    is identity, 'bf16'/'int8' stay in the f32 path's accuracy class, and
+    'int8' without calibration images raises instead of silently falling
+    back to the slower dynamic quantization."""
+    from vision_transformer_cam_tpu import serving
+    params = vit.init(TINY, jax.random.key(0))
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    calib = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+
+    p0, c0 = serving.apply_serving_mode(params, TINY, "off")
+    assert c0 is TINY and p0 is params
+    ref = vit.apply(params, x, TINY)
+
+    with pytest.raises(ValueError, match="calib_images"):
+        serving.apply_serving_mode(params, TINY, "int8")
+    with pytest.raises(ValueError, match="serving mode"):
+        serving.apply_serving_mode(params, TINY, "fp8")
+
+    for mode in ("bf16", "int8"):
+        p, c = serving.apply_serving_mode(params, TINY, mode,
+                                          calib_images=calib)
+        assert c.dtype == jnp.bfloat16 and c.attn_impl == "pallas"
+        assert c.int8_attn_io == (mode == "int8")
+        if mode == "int8":
+            assert "kernel_q" in p["blocks"]["mlp"]["fc1"]
+            assert "act_scale" in p["blocks"]["mlp"]["fc1"]
+        got = vit.apply(p, x, c)
+        a = np.asarray(ref.logits).ravel()
+        b = np.asarray(got.logits).ravel()
+        cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99, mode

@@ -98,21 +98,14 @@ def val(args) -> dict:
     loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False)
 
     if args.serving != "off":
-        import jax.numpy as jnp
-        cfg = cfg.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                          gelu_approx=True, softmax_clamp=True)
-        params = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
-        if args.serving == "int8":
-            from vision_transformer_cam_tpu.ops.quant import (
-                calibrate_act_scales, quantize_params)
-            calib = np.stack([ds[i]["image"]
-                              for i in range(min(8, len(ds)))])
-            scales = calibrate_act_scales(params, cfg,
-                                          jnp.asarray(calib, jnp.float32))
-            params = quantize_params(params, act_scales=scales)
-            cfg = cfg.replace(int8_attn_io=True)
+        from vision_transformer_cam_tpu import serving
+        calib = np.stack([ds[i]["image"] for i in range(min(8, len(ds)))]) \
+            if args.serving == "int8" else None
+        params, cfg = serving.apply_serving_mode(params, cfg, args.serving,
+                                                 calib_images=calib)
+        if args.attn_impl != "auto":
+            # an explicit --attn_impl wins over the mode's pallas default
+            cfg = cfg.replace(attn_impl=impl)
 
     mesh = sharding = None
     if args.data_parallel:
