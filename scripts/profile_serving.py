@@ -1,0 +1,79 @@
+"""Device-side profile of the int8 serving model (the bench.py default).
+
+Captures a jax.profiler trace of 3 CAM-extraction batches and prints the
+per-op device-time table — works through the tunneled platform (the
+xplane/trace.json land locally).  This is how the in-model stage budget in
+BENCHMARKS.md ("In-model device profile") was measured; standalone
+microbenchmarks over-estimate stages that XLA fuses or overlaps in-model.
+
+  python scripts/profile_serving.py [--batch N] [--trace-dir DIR]
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
+        if "--batch" in sys.argv else 512
+    trace_dir = sys.argv[sys.argv.index("--trace-dir") + 1] \
+        if "--trace-dir" in sys.argv else "/tmp/jax-trace-serving"
+
+    from vision_transformer_cam_tpu import configs, serving
+    from vision_transformer_cam_tpu.models import vit
+    from vision_transformer_cam_tpu.ops import rollout
+    from vision_transformer_cam_tpu.utils import profiling
+
+    cfg = configs.vit_base_patch16_224_in21k(num_classes=20)
+    cfg = cfg.replace(representation_size=None)
+    params = vit.init(cfg, jax.random.key(0))
+    calib = jax.random.normal(jax.random.key(7), (8, 224, 224, 3),
+                              jnp.float32)
+    params, cfg = serving.apply_serving_mode(params, cfg, "int8", calib)
+
+    @jax.jit
+    def f(params, images):
+        out = vit.forward(params, images, cfg, need_rollout=True)
+        return rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
+
+    x = jax.random.normal(jax.random.key(1), (batch, 224, 224, 3),
+                          jnp.float32)
+    float(jnp.sum(f(params, x)[:1]))  # compile + warm (sync via d2h read)
+    n_iters = 3
+    with profiling.trace(trace_dir):
+        for _ in range(n_iters):
+            r = f(params, x)
+        float(jnp.sum(r[:1]))
+
+    traces = sorted(glob.glob(os.path.join(trace_dir, "plugins", "profile",
+                                           "*", "*.trace.json.gz")))
+    if not traces:
+        raise SystemExit(f"no trace produced under {trace_dir}")
+    with gzip.open(traces[-1]) as fh:
+        data = json.load(fh)
+    pids = {e["pid"]: e["args"].get("name") for e in data["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = [p for p, name in pids.items() if name and "TPU" in name]
+    dur = collections.Counter()
+    for e in data["traceEvents"]:
+        if e.get("ph") == "X" and e["pid"] in dev:
+            dur[e.get("name", "?")] += e.get("dur", 0)
+    print(f"device-op totals over {n_iters} batches of {batch} "
+          f"(divide by {n_iters} for per-batch):")
+    for name, d in dur.most_common(20):
+        print(f"  {d / 1e3:9.2f} ms  {name}")
+
+
+if __name__ == "__main__":
+    main()
