@@ -237,3 +237,23 @@ def test_validate_cli_serving_int8(voc_tree, tmp_path, tiny_zoo, monkeypatch):
     assert np.isfinite(res["mIoU"]) and np.isfinite(res["global_acc"])
     # labels come from the XML fallback (no --cls_labels_path given)
     assert np.isfinite(res["mAP"])
+
+
+def test_export_cli_roundtrip(tmp_path, tiny_zoo):
+    """cli.export: serialize the int8-serving CAM function (params baked
+    in) to a StableHLO artifact, deserialize, and get bit-identical
+    outputs — the deployment path the reference doesn't have."""
+    import jax.numpy as jnp
+    from vision_transformer_cam_tpu.cli import export as ecli
+    out = str(tmp_path / "tiny.jaxex")
+    ecli.main(["--model_name", tiny_zoo, "--serving", "int8",
+               "--batch", "2", "--out", out, "--check"])
+    import json
+    meta = json.load(open(out + ".json"))
+    assert meta["with_cam"] and meta["serving"] == "int8"
+    blob = open(out, "rb").read()
+    re = jax.export.deserialize(blob)
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    logits, h1, cam = re.call(x)
+    assert logits.shape == (2, 20) and cam.shape == (2, 4, 4)
+    assert np.isfinite(np.asarray(cam)).all()

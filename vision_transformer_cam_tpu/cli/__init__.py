@@ -5,4 +5,7 @@
   python -m vision_transformer_cam_tpu.cli.predict   (predict.py)
   python -m vision_transformer_cam_tpu.cli.tools     (make_cls_labels /
                                                       get_palette / flops)
+  python -m vision_transformer_cam_tpu.cli.export    (StableHLO serving
+                                                      artifact — no
+                                                      reference equivalent)
 """

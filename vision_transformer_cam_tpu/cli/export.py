@@ -1,0 +1,133 @@
+"""Export the serving model as a portable StableHLO artifact (jax.export).
+
+The reference has no deployment story — serving means running the PyTorch
+training graph under torch.no_grad (validate.py:106-135).  Here the
+CAM-extraction function (forward + in-scan rollout + CAM grid), with the
+weights baked in and any serving mode applied (`--serving int8` = the
+5 516 img/s bench config), is serialized ahead-of-time so a serving binary
+can load and run it without Python, the model code, or the checkpoint:
+
+  python -m vision_transformer_cam_tpu.cli.export \
+      --weights ckpt.npz --serving int8 --batch 512 --out model.jaxex
+
+`--check` deserializes the artifact in-process, runs it, and verifies the
+outputs match the live function bit-for-bit.  A JSON sidecar records the
+model/mode/shape contract.  Lowering is ahead-of-time for the current
+default platform (`--platform` overrides, e.g. export FOR tpu from a CPU
+host).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_transformer_cam_tpu import configs, serving
+from vision_transformer_cam_tpu.io import weights as wio
+from vision_transformer_cam_tpu.models import vit
+from vision_transformer_cam_tpu.ops import rollout
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_name", type=str,
+                   default="vit_base_patch16_224_in21k")
+    p.add_argument("--num_classes", type=int, default=20)
+    p.add_argument("--weights", type=str, default="",
+                   help=".pth or .npz fine-tuned weights; empty = random "
+                        "(shape/perf testing)")
+    p.add_argument("--serving", type=str, default="int8",
+                   choices=list(serving.SERVING_MODES))
+    p.add_argument("--batch", type=int, default=512,
+                   help="static batch size baked into the artifact")
+    p.add_argument("--calib_npy", type=str, default="",
+                   help="[N,H,W,3] float .npy calibration batch for int8; "
+                        "default: unit-normal random (document your own!)")
+    p.add_argument("--no-cam", action="store_true",
+                   help="export the classification-only function")
+    p.add_argument("--out", type=str, required=True,
+                   help="artifact path; a .json sidecar is written next "
+                        "to it")
+    p.add_argument("--platform", type=str, default="",
+                   help="lowering platform (tpu/cpu); default = the "
+                        "current jax default backend")
+    p.add_argument("--check", action="store_true",
+                   help="deserialize + run + compare against the live fn")
+    return p
+
+
+def build_fn(args):
+    """(fn(images), cfg) with params baked in and serving mode applied."""
+    factory = configs.MODEL_ZOO.get(args.model_name,
+                                    configs.vit_base_patch16_224_in21k)
+    cfg = factory(num_classes=args.num_classes)
+    cfg = cfg.replace(representation_size=None)
+    if args.weights:
+        params = wio.load_npz(args.weights) if args.weights.endswith(".npz") \
+            else wio.load_pth(args.weights, cfg, del_keys=())
+    else:
+        params = vit.init(cfg, jax.random.key(0))
+    calib = None
+    if args.serving == "int8":
+        calib = np.load(args.calib_npy) if args.calib_npy else \
+            np.random.default_rng(7).standard_normal(
+                (8, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+    params, cfg = serving.apply_serving_mode(params, cfg, args.serving,
+                                             calib_images=calib)
+    with_cam = not args.no_cam
+
+    def fn(images):
+        out = vit.forward(params, images, cfg, need_rollout=with_cam)
+        if not with_cam:
+            return out.logits, out.head1_logits
+        cam = rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
+        return out.logits, out.head1_logits, cam
+
+    return fn, cfg
+
+
+def main(argv=None) -> str:
+    from vision_transformer_cam_tpu.utils import honor_jax_platforms_env
+    honor_jax_platforms_env()
+    args = build_parser().parse_args(argv)
+    fn, cfg = build_fn(args)
+    spec = jax.ShapeDtypeStruct((args.batch, cfg.img_size, cfg.img_size, 3),
+                                jnp.float32)
+    platforms = [args.platform] if args.platform else None
+    exported = jax.export.export(jax.jit(fn), platforms=platforms)(spec)
+    blob = exported.serialize()
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    meta = {"model_name": args.model_name, "serving": args.serving,
+            "batch": args.batch, "img_size": cfg.img_size,
+            "num_classes": args.num_classes, "with_cam": not args.no_cam,
+            "platforms": list(exported.platforms),
+            "input": "float32 [batch, H, W, 3], ImageNet-normalized",
+            "outputs": "(logits, head1_logits" +
+                       (", cam [batch, grid, grid])" if not args.no_cam
+                        else ")")}
+    with open(args.out + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"exported {len(blob) / 1e6:.1f} MB -> {args.out} "
+          f"(platforms {meta['platforms']})")
+
+    if args.check:
+        re = jax.export.deserialize(blob)
+        x = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (args.batch, cfg.img_size, cfg.img_size, 3)), jnp.float32)
+        got = re.call(x)
+        want = jax.jit(fn)(x)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        print(f"check OK: artifact == live fn on random input "
+              f"({len(got)} outputs, bit-identical)")
+    return args.out
+
+
+if __name__ == "__main__":
+    main()
