@@ -248,6 +248,41 @@ def main():
         print(f"ln: {ms:.2f} ms per 2 LNs  "
               f"({ms * DEPTH:.1f} ms per 12-layer model)")
 
+    elif variant == "io":
+        # host JPEG->tensor pipeline: native C++ (libjpeg + threads) vs the
+        # PIL fallback, on VOC-typical 500x375 JPEGs.  Host-side only — no
+        # TPU involved; this box has 1 core, so the threaded win shows up
+        # on real multi-core hosts (num_threads is per-call).
+        import tempfile
+
+        import numpy as np
+        import PIL.Image
+        from vision_transformer_cam_tpu.data.transforms import (
+            load_and_preprocess)
+        from vision_transformer_cam_tpu.io import native_loader
+
+        rng = np.random.default_rng(0)
+        tmpd = tempfile.mkdtemp()
+        paths = []
+        for i in range(64):
+            arr = rng.integers(0, 256, size=(375, 500, 3), dtype=np.uint8)
+            p = os.path.join(tmpd, f"{i}.jpg")
+            PIL.Image.fromarray(arr).save(p, quality=90)
+            paths.append(p)
+
+        t0 = time.perf_counter()
+        native_loader.decode_batch(paths, 224)
+        t_native = time.perf_counter() - t0
+        mean = np.asarray((0.485, 0.456, 0.406), np.float32)
+        std = np.asarray((0.229, 0.224, 0.225), np.float32)
+        t0 = time.perf_counter()
+        for p in paths:
+            load_and_preprocess(p, 224, mean, std)
+        t_pil = time.perf_counter() - t0
+        print(f"io: native {len(paths) / t_native:.0f} img/s, "
+              f"PIL fallback {len(paths) / t_pil:.0f} img/s "
+              f"({os.cpu_count()} host cores)")
+
     elif variant == "model":
         from vision_transformer_cam_tpu import configs
         from vision_transformer_cam_tpu.models import vit
