@@ -257,3 +257,19 @@ def test_export_cli_roundtrip(tmp_path, tiny_zoo):
     logits, h1, cam = re.call(x)
     assert logits.shape == (2, 20) and cam.shape == (2, 4, 4)
     assert np.isfinite(np.asarray(cam)).all()
+
+
+def test_validate_cli_serving_int8_data_parallel(voc_tree, tmp_path,
+                                                 tiny_zoo, monkeypatch):
+    """The production combo: int8 serving mode sharded over the 8-device
+    mesh — quantized param pytree (int8 leaves + scales) and the int8-I/O
+    kernel must compose with --data_parallel."""
+    from vision_transformer_cam_tpu.cli import validate as vcli
+    monkeypatch.chdir(tmp_path)
+    res = vcli.main(["--model_name", tiny_zoo,
+                     "--dataset_path", str(voc_tree),
+                     "--val_img_name_path", str(voc_tree / "split.txt"),
+                     "--batch_size", "4", "--data_parallel",
+                     "--attn_impl", "pallas", "--serving", "int8",
+                     "--seg_pred_dir", str(tmp_path / "spdp8")])
+    assert np.isfinite(res["mIoU"]) and np.isfinite(res["mAP"])
