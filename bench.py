@@ -101,6 +101,12 @@ def main():
         cfg = cfg.replace(int8_fused_gemm=True)
     if "--rollout-post" in sys.argv:
         cfg = cfg.replace(rollout_post=True)
+    # Deliberately NOT routed through serving.apply_serving_mode: bench is
+    # the ablation surface, and every piece of the serving recipe must stay
+    # individually switchable (--no-int8-attn, --int8-dynamic, --gelu-exact,
+    # ...).  The product path for "give me the serving config" is
+    # serving.apply_serving_mode; its composition is pinned against these
+    # flags by the quality table in BENCHMARKS.md.
     # int8 W8A8 serving (static calibrated scales + int8 attention I/O) is
     # the default headline config — the 5000 img/s target is unreachable in
     # bf16 (XLA bf16 GEMMs already run at ~95% of MXU peak; see

@@ -172,6 +172,17 @@ def test_validate_cli_pallas_impl(voc_tree, tmp_path, tiny_zoo, monkeypatch):
     assert np.isfinite(res["mIoU"])
 
 
+def _split8(voc_tree, tmp_path):
+    """An 8-line split (names repeated) so batch_size=8 divides the
+    8-device mesh — validate.py only device_puts with a sharding when
+    batch % mesh.size == 0, so a 4-image batch would silently run
+    UNsharded (round-2 self-review finding)."""
+    lines = (voc_tree / "split.txt").read_text().splitlines()
+    p = tmp_path / "split8.txt"
+    p.write_text("\n".join(lines + lines) + "\n")
+    return p
+
+
 def test_validate_cli_data_parallel(voc_tree, tmp_path, tiny_zoo,
                                     monkeypatch):
     """--data_parallel shards each batch over the 8-device CPU mesh."""
@@ -179,8 +190,8 @@ def test_validate_cli_data_parallel(voc_tree, tmp_path, tiny_zoo,
     monkeypatch.chdir(tmp_path)
     res = vcli.main(["--model_name", tiny_zoo,
                      "--dataset_path", str(voc_tree),
-                     "--val_img_name_path", str(voc_tree / "split.txt"),
-                     "--batch_size", "4", "--data_parallel",
+                     "--val_img_name_path", str(_split8(voc_tree, tmp_path)),
+                     "--batch_size", "8", "--data_parallel",
                      "--seg_pred_dir", str(tmp_path / "sp2")])
     assert np.isfinite(res["mIoU"])
 
@@ -268,8 +279,8 @@ def test_validate_cli_serving_int8_data_parallel(voc_tree, tmp_path,
     monkeypatch.chdir(tmp_path)
     res = vcli.main(["--model_name", tiny_zoo,
                      "--dataset_path", str(voc_tree),
-                     "--val_img_name_path", str(voc_tree / "split.txt"),
-                     "--batch_size", "4", "--data_parallel",
+                     "--val_img_name_path", str(_split8(voc_tree, tmp_path)),
+                     "--batch_size", "8", "--data_parallel",
                      "--attn_impl", "pallas", "--serving", "int8",
                      "--seg_pred_dir", str(tmp_path / "spdp8")])
     assert np.isfinite(res["mIoU"]) and np.isfinite(res["mAP"])

@@ -178,7 +178,11 @@ def test_apply_serving_mode():
     for mode in ("bf16", "int8"):
         p, c = serving.apply_serving_mode(params, TINY, mode,
                                           calib_images=calib)
-        assert c.dtype == jnp.bfloat16 and c.attn_impl == "pallas"
+        assert c.dtype == jnp.bfloat16
+        # attn_impl resolves by backend (pallas on TPU, xla elsewhere —
+        # interpret-mode pallas would be a silent orders-of-magnitude trap)
+        assert c.attn_impl == ("pallas" if jax.default_backend() == "tpu"
+                               else "xla")
         assert c.int8_attn_io == (mode == "int8")
         if mode == "int8":
             assert "kernel_q" in p["blocks"]["mlp"]["fc1"]

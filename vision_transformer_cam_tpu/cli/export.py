@@ -12,9 +12,13 @@ can load and run it without Python, the model code, or the checkpoint:
 
 `--check` deserializes the artifact in-process, runs it, and verifies the
 outputs match the live function bit-for-bit.  A JSON sidecar records the
-model/mode/shape contract.  Lowering is ahead-of-time for the current
-default platform (`--platform` overrides, e.g. export FOR tpu from a CPU
-host).
+model/mode/shape contract.  Lowering is ahead-of-time for the CURRENT
+platform — cross-platform export is rejected (the Pallas kernels pick
+their lowering from the live backend at trace time), so export on the
+platform you deploy to.  Note for tunneled remote-compile setups: the
+artifact embeds the weights, so `--check` on a full-size model can exceed
+the remote compiler's payload limit (CLAUDE.md's HTTP-413 gotcha) — run
+the check where compiles are local, or on a small model.
 """
 
 from __future__ import annotations
@@ -54,8 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="artifact path; a .json sidecar is written next "
                         "to it")
     p.add_argument("--platform", type=str, default="",
-                   help="lowering platform (tpu/cpu); default = the "
-                        "current jax default backend")
+                   help="lowering platform (tpu/cpu); must equal the "
+                        "current jax default backend (cross-platform "
+                        "export is rejected — see module docstring)")
     p.add_argument("--check", action="store_true",
                    help="deserialize + run + compare against the live fn")
     return p
@@ -63,8 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def build_fn(args):
     """(fn(images), cfg) with params baked in and serving mode applied."""
-    factory = configs.MODEL_ZOO.get(args.model_name,
-                                    configs.vit_base_patch16_224_in21k)
+    if args.model_name not in configs.MODEL_ZOO:
+        # no silent ViT-B fallback here (the sidecar would record the
+        # wrong model): a deployment artifact must be what it says it is
+        raise SystemExit(f"unknown --model_name {args.model_name!r}; "
+                         f"choose from {sorted(configs.MODEL_ZOO)}")
+    factory = configs.MODEL_ZOO[args.model_name]
     cfg = factory(num_classes=args.num_classes)
     cfg = cfg.replace(representation_size=None)
     if args.weights:
@@ -95,6 +104,18 @@ def main(argv=None) -> str:
     from vision_transformer_cam_tpu.utils import honor_jax_platforms_env
     honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
+    backend = jax.default_backend()
+    if args.platform and args.platform != backend:
+        # Cross-platform export is NOT supported: the Pallas kernels pick
+        # interpret-vs-Mosaic lowering from the live backend at trace time,
+        # so exporting "for tpu" from a CPU host would silently bake the
+        # interpret lowering (and the reverse bakes a tpu custom-call that
+        # cannot run on cpu).  Run under the target platform instead.
+        raise SystemExit(
+            f"--platform {args.platform} != current backend {backend}: "
+            "cross-platform export would bake the wrong attention kernel "
+            f"lowering; run with JAX_PLATFORMS={args.platform} (or on the "
+            "target machine) instead")
     fn, cfg = build_fn(args)
     spec = jax.ShapeDtypeStruct((args.batch, cfg.img_size, cfg.img_size, 3),
                                 jnp.float32)
@@ -117,6 +138,10 @@ def main(argv=None) -> str:
           f"(platforms {meta['platforms']})")
 
     if args.check:
+        if len(blob) > 16e6 and backend != "cpu":
+            print(f"warning: --check compiles the {len(blob) / 1e6:.0f} MB "
+                  "artifact (weights embedded); on remote-compile/tunneled "
+                  "platforms this can exceed the compiler payload limit")
         re = jax.export.deserialize(blob)
         x = jnp.asarray(np.random.default_rng(3).standard_normal(
             (args.batch, cfg.img_size, cfg.img_size, 3)), jnp.float32)

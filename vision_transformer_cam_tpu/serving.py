@@ -38,9 +38,14 @@ def serving_config(cfg, mode: str):
                          f"{SERVING_MODES}")
     if mode == "off":
         return cfg
+    # the fused Pallas kernel is the serving attention on TPU; elsewhere
+    # (CPU CI, debugging) Pallas would run in interpret mode — orders of
+    # magnitude slower than XLA — so resolve by backend, like the CLIs'
+    # attn_impl=auto.  Callers can still force either impl afterwards.
+    impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     cfg = cfg.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                       gelu_approx=True, softmax_clamp=True,
-                      attn_impl="pallas")
+                      attn_impl=impl)
     if mode == "int8":
         cfg = cfg.replace(int8_attn_io=True)
     return cfg
