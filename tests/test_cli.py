@@ -284,3 +284,17 @@ def test_validate_cli_serving_int8_data_parallel(voc_tree, tmp_path,
                      "--attn_impl", "pallas", "--serving", "int8",
                      "--seg_pred_dir", str(tmp_path / "spdp8")])
     assert np.isfinite(res["mIoU"]) and np.isfinite(res["mAP"])
+
+
+def test_export_cli_data_parallel(tmp_path, tiny_zoo):
+    """--data_parallel export: the artifact is lowered for the full
+    8-device mesh (nr_devices=8) and the sharded roundtrip is
+    bit-identical — the multi-chip serving deployment path."""
+    from vision_transformer_cam_tpu.cli import export as ecli
+    out = str(tmp_path / "tiny_dp.jaxex")
+    ecli.main(["--model_name", tiny_zoo, "--serving", "bf16",
+               "--batch", "16", "--data_parallel", "--out", out,
+               "--check"])
+    import json
+    meta = json.load(open(out + ".json"))
+    assert meta["nr_devices"] == len(jax.devices())

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "default: unit-normal random (document your own!)")
     p.add_argument("--no-cam", action="store_true",
                    help="export the classification-only function")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch over ALL visible devices; the "
+                        "artifact then requires the same device count at "
+                        "load time (multi-chip serving)")
     p.add_argument("--out", type=str, required=True,
                    help="artifact path; a .json sidecar is written next "
                         "to it")
@@ -117,16 +121,28 @@ def main(argv=None) -> str:
             f"lowering; run with JAX_PLATFORMS={args.platform} (or on the "
             "target machine) instead")
     fn, cfg = build_fn(args)
+    sharding = None
+    if args.data_parallel:
+        from vision_transformer_cam_tpu.parallel import (data_sharding,
+                                                         make_mesh)
+        mesh = make_mesh((-1,), ("data",))
+        if args.batch % mesh.size:
+            raise SystemExit(f"--batch {args.batch} must divide the "
+                             f"{mesh.size}-device mesh")
+        sharding = data_sharding(mesh)
     spec = jax.ShapeDtypeStruct((args.batch, cfg.img_size, cfg.img_size, 3),
-                                jnp.float32)
+                                jnp.float32, sharding=sharding)
     platforms = [args.platform] if args.platform else None
-    exported = jax.export.export(jax.jit(fn), platforms=platforms)(spec)
+    jitted = jax.jit(fn, in_shardings=sharding) if sharding is not None \
+        else jax.jit(fn)
+    exported = jax.export.export(jitted, platforms=platforms)(spec)
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
     meta = {"model_name": args.model_name, "serving": args.serving,
             "batch": args.batch, "img_size": cfg.img_size,
             "num_classes": args.num_classes, "with_cam": not args.no_cam,
+            "nr_devices": exported.nr_devices,
             "platforms": list(exported.platforms),
             "input": "float32 [batch, H, W, 3], ImageNet-normalized",
             "outputs": "(logits, head1_logits" +
@@ -145,8 +161,10 @@ def main(argv=None) -> str:
         re = jax.export.deserialize(blob)
         x = jnp.asarray(np.random.default_rng(3).standard_normal(
             (args.batch, cfg.img_size, cfg.img_size, 3)), jnp.float32)
+        if sharding is not None:
+            x = jax.device_put(x, sharding)
         got = re.call(x)
-        want = jax.jit(fn)(x)
+        want = jitted(x)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
         print(f"check OK: artifact == live fn on random input "
