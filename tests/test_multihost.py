@@ -78,7 +78,32 @@ allrows = multihost_utils.process_allgather(_host_rows(g), tiled=True)
 assert allrows.shape == (8, 3)
 assert {0.0, 100.0} == {float(allrows[0, 0]), float(allrows[4, 0])}
 
-print(f"OK process={jax.process_index()} loss={loss:.4f}", flush=True)
+# full evaluate() across both processes (advisor round-1 finding #2): each
+# process feeds its stripe of the SAME global val set, and the
+# process_allgather inside evaluate() must make every process return the
+# identical global mAP
+from vision_transformer_cam_tpu.data.loader import BatchLoader
+from vision_transformer_cam_tpu.train.loop import evaluate
+
+class _ValDS:
+    def __init__(self, n=16):
+        r = np.random.default_rng(7)          # same data on BOTH processes
+        self.x = r.standard_normal((n, 32, 32, 3)).astype(np.float32)
+        self.y = (r.random((n, 20)) < 0.3).astype(np.float32)
+        self.y[:, 0] = 1.0                    # every sample has a positive
+    def __len__(self):
+        return len(self.x)
+    def __getitem__(self, i):
+        return {"name": str(i), "image": self.x[i], "label": self.y[i]}
+
+val_loader = BatchLoader(_ValDS(), 4, shuffle=False, drop_last=True,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
+em = evaluate(state.params, val_loader, cfg, mesh)
+assert em["mAP_196patch"] == em["mAP_196patch"]   # finite (not NaN)
+
+print(f"OK process={jax.process_index()} loss={loss:.4f} "
+      f"mAP={em['mAP_196patch']:.6f}", flush=True)
 """
 
 
@@ -104,7 +129,11 @@ def test_two_process_distributed_train_step(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"OK process={i}" in out
-    # both replicas computed the same global loss
+    # both replicas computed the same global loss and the same global mAP
+    # (evaluate()'s process_allgather path)
     l0 = outs[0].split("loss=")[1].split()[0]
     l1 = outs[1].split("loss=")[1].split()[0]
     assert l0 == l1
+    m0 = outs[0].split("mAP=")[1].split()[0]
+    m1 = outs[1].split("mAP=")[1].split()[0]
+    assert m0 == m1 and m0 != "nan"
