@@ -95,7 +95,10 @@ def val(args) -> dict:
     ds = VOC12Dataset(args.val_img_name_path, args.dataset_path,
                       cls_labels_path=args.cls_labels_path or None,
                       seg_label_flag=True, img_size=cfg.img_size)
-    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False)
+    # C++ batched JPEG decode when available (PIL fallback; pixel parity
+    # pinned by test_native_loader_matches_pil)
+    loader = BatchLoader(ds, args.batch_size, shuffle=False, drop_last=False,
+                         native_decode=True)
 
     if args.serving != "off":
         from vision_transformer_cam_tpu import serving
