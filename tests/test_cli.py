@@ -298,3 +298,24 @@ def test_export_cli_data_parallel(tmp_path, tiny_zoo):
     import json
     meta = json.load(open(out + ".json"))
     assert meta["nr_devices"] == len(jax.devices())
+
+
+def test_validate_cli_native_decode(voc_tree, tmp_path, tiny_zoo,
+                                    monkeypatch):
+    """--native_decode opts into the C++ batched JPEG pipeline (PIL stays
+    the parity default); metrics must match the PIL run closely (pixels
+    differ by at most ~2 uint8 quanta)."""
+    from vision_transformer_cam_tpu.io import native_loader
+    if not native_loader.available():
+        pytest.skip("native library unavailable")
+    from vision_transformer_cam_tpu.cli import validate as vcli
+    monkeypatch.chdir(tmp_path)
+    base = ["--model_name", tiny_zoo, "--dataset_path", str(voc_tree),
+            "--val_img_name_path", str(voc_tree / "split.txt"),
+            "--batch_size", "2"]
+    r_pil = vcli.main(base + ["--seg_pred_dir", str(tmp_path / "sp_pil")])
+    r_nat = vcli.main(base + ["--native_decode",
+                              "--seg_pred_dir", str(tmp_path / "sp_nat")])
+    assert np.isfinite(r_nat["mAP"])
+    assert abs(r_nat["mAP"] - r_pil["mAP"]) < 0.05
+    assert abs(r_nat["mIoU"] - r_pil["mIoU"]) < 0.05

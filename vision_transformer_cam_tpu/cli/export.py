@@ -127,8 +127,8 @@ def main(argv=None) -> str:
                                                          make_mesh)
         mesh = make_mesh((-1,), ("data",))
         if args.batch % mesh.size:
-            raise SystemExit(f"--batch {args.batch} must divide the "
-                             f"{mesh.size}-device mesh")
+            raise SystemExit(f"--batch {args.batch} must be a multiple of "
+                             f"the {mesh.size}-device mesh size")
         sharding = data_sharding(mesh)
     spec = jax.ShapeDtypeStruct((args.batch, cfg.img_size, cfg.img_size, 3),
                                 jnp.float32, sharding=sharding)

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_shape", type=str, default="-1",
                    help="comma-separated mesh shape over jax.devices(), "
                         "e.g. '-1' (all-data-parallel) or '4,2' (dp,tp)")
+    p.add_argument("--native_decode", action="store_true",
+                   help="opt into the C++ batched JPEG pipeline (PIL "
+                        "default = exact reference-parity pixels)")
     p.add_argument("--resume", action="store_true",
                    help="resume full train state from latest checkpoint "
                         "(capability the reference lacks)")
@@ -88,7 +91,8 @@ def main(argv=None):
         mesh_shape=mesh_shape, mesh_axes=mesh_axes)
     dc = dict(voc12_root=args.dataset_path,
               cls_labels_path=args.cls_labels_path,
-              img_size=model_cfg.img_size)
+              img_size=model_cfg.img_size,
+              native_decode=args.native_decode)
     train_data = configs.DataConfig(
         img_name_list_path=args.train_img_name_path, **dc)
     val_data = configs.DataConfig(

@@ -162,6 +162,9 @@ class DataConfig:
     drop_last: bool = True
     seg_labels: bool = False
     num_threads: int = 4
+    # C++ batched JPEG pipeline (explicit opt-in — matches PIL within ~2
+    # uint8 quanta; the PIL default is the exact reference-parity pipeline)
+    native_decode: bool = False
     prefetch: int = 2
     seed: int = 0
     loader_impl: str = "auto"  # "auto" | "native" | "pil"

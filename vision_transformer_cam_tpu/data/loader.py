@@ -86,9 +86,15 @@ class BatchLoader:
 
         def native_batch(sl):
             ds = self.dataset
-            imgs = self._native.decode_batch(
-                [ds.image_path(i) for i in sl], ds.img_size,
-                tuple(ds.mean), tuple(ds.std), self.num_threads)
+            try:
+                imgs = self._native.decode_batch(
+                    [ds.image_path(i) for i in sl], ds.img_size,
+                    tuple(ds.mean), tuple(ds.std), self.num_threads)
+            except ValueError:
+                # libjpeg rejects files PIL would accept (CMYK JPEGs, a PNG
+                # with a .jpg extension): fall back to the per-item PIL path
+                # for this batch instead of aborting the run
+                return collate([ds[i] for i in sl])
             items = [dict(ds.meta(i), image=imgs[j])
                      for j, i in enumerate(sl)]
             return collate(items)

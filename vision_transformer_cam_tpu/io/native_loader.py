@@ -27,8 +27,18 @@ _lib_lock = threading.Lock()
 
 def _build() -> bool:
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                       capture_output=True)
+        # inter-PROCESS lock: on multi-host-on-one-box runs every process
+        # reaches here concurrently, and two unsynchronized `make` runs
+        # into the same .so can hand one process a partially written file
+        # (round-2 review finding).  flock + re-check makes the build
+        # happen exactly once.
+        import fcntl
+        os.makedirs(_NATIVE_DIR, exist_ok=True)
+        with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not os.path.exists(_SO_PATH):
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                               capture_output=True)
         return True
     except Exception:
         return False

@@ -127,23 +127,23 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
                           cls_labels_path=val_data.cls_labels_path or None,
                           img_size=val_data.img_size,
                           mean=val_data.mean, std=val_data.std)
-    # native_decode: the C++ batched JPEG pipeline (decode+resize+normalize
-    # in one threaded call) when the .so builds; silently falls back to the
-    # PIL path otherwise.  Pixel parity is pinned by
-    # test_native_loader_matches_pil.
+    # data_cfg.native_decode (opt-in): the C++ batched JPEG pipeline; the
+    # PIL default is the exact reference-parity pixel pipeline (the native
+    # path matches it within ~2 uint8 quanta — test_native_loader_matches
+    # _pil); silently falls back to PIL when the .so is unavailable
     loader = BatchLoader(train_ds, train_cfg.batch_size // jax.process_count(),
                          shuffle=True, seed=train_cfg.seed,
                          num_threads=train_data.num_threads,
                          process_index=jax.process_index(),
                          process_count=jax.process_count(),
-                         native_decode=True)
+                         native_decode=train_data.native_decode)
     val_loader = BatchLoader(val_ds, train_cfg.batch_size
                              // jax.process_count(), shuffle=False,
                              drop_last=False,
                              num_threads=val_data.num_threads,
                              process_index=jax.process_index(),
                              process_count=jax.process_count(),
-                             native_decode=True)
+                             native_decode=val_data.native_decode)
 
     rng = jax.random.key(train_cfg.seed)
     if init_params is None:
