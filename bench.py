@@ -67,15 +67,61 @@ def bench_train(batch, dtype):
     }))
 
 
-def main():
+def build_cfg(argv, model=None):
+    """Bench config from ablation flags.  Deliberately NOT routed through
+    serving.apply_serving_mode — bench is the ablation surface, so every
+    piece of the serving recipe stays individually switchable
+    (--no-int8-attn, --int8-dynamic, --gelu-exact, ...) — but with NO
+    ablation flags the result must equal the product serving config;
+    tests/test_quant.py::test_bench_default_matches_serving_api pins that.
+
+    Returns (cfg, use_int8).  use_int8 defaults ON: the 5000 img/s target
+    is unreachable in bf16 (XLA bf16 GEMMs already run at ~95% of MXU
+    peak — BENCHMARKS.md); --bf16 / --f32 opt out.  Fidelity of every
+    serving mode vs the exact f32 path is characterized in BENCHMARKS.md
+    and the exact math is pinned by the f64 goldens in tests/.
+    """
     from vision_transformer_cam_tpu import configs
+
+    if model is None:
+        model = argv[argv.index("--model") + 1] \
+            if "--model" in argv else "vit_base_patch16_224_in21k"
+    # bf16 is the production serving dtype (correctness is pinned separately
+    # by the f32/f64 goldens in tests/); --f32 measures the parity dtype.
+    dtype = jnp.float32 if "--f32" in argv else jnp.bfloat16
+    cfg = configs.MODEL_ZOO[model](num_classes=20)
+    cfg = cfg.replace(representation_size=None,
+                      dtype=dtype, param_dtype=dtype)
+    # fused Pallas attention is the fastest measured config; --xla opts out
+    if "--xla" not in argv:
+        cfg = cfg.replace(attn_impl="pallas")
+    # tanh GELU: +23% measured; numerics differ from the reference's exact
+    # erf by ~1e-3 — below bf16 rounding noise (f32 goldens pin exact math)
+    if "--gelu-exact" not in argv:
+        cfg = cfg.replace(gelu_approx=True)
+    if "--stable-softmax" not in argv:
+        cfg = cfg.replace(softmax_clamp=True)
+    if "--mlp-fusion" in argv:
+        cfg = cfg.replace(mlp_fusion=True)
+    if "--int8-fused" in argv:
+        cfg = cfg.replace(int8_fused_gemm=True)
+    if "--rollout-post" in argv:
+        cfg = cfg.replace(rollout_post=True)
+    use_int8 = ("--int8" in argv
+                or not ("--bf16" in argv or "--f32" in argv))
+    if use_int8 and "--no-int8-attn" not in argv:
+        cfg = cfg.replace(int8_attn_io=True)
+    if "--int8-attn" in argv:
+        cfg = cfg.replace(int8_attn_io=True)
+    return cfg, use_int8
+
+
+def main():
     from vision_transformer_cam_tpu.models import vit
     from vision_transformer_cam_tpu.ops import rollout
 
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
         if "--batch" in sys.argv else 512
-    # bf16 is the production serving dtype (correctness is pinned separately
-    # by the f32/f64 goldens in tests/); --f32 measures the parity dtype.
     dtype = jnp.float32 if "--f32" in sys.argv else jnp.bfloat16
 
     if "--train" in sys.argv:
@@ -83,42 +129,7 @@ def main():
 
     model = sys.argv[sys.argv.index("--model") + 1] \
         if "--model" in sys.argv else "vit_base_patch16_224_in21k"
-    cfg = configs.MODEL_ZOO[model](num_classes=20)
-    cfg = cfg.replace(representation_size=None,
-                      dtype=dtype, param_dtype=dtype)
-    # fused Pallas attention is the fastest measured config; --xla opts out
-    if "--xla" not in sys.argv:
-        cfg = cfg.replace(attn_impl="pallas")
-    # tanh GELU: +23% measured; numerics differ from the reference's exact
-    # erf by ~1e-3 — below bf16 rounding noise (f32 goldens pin exact math)
-    if "--gelu-exact" not in sys.argv:
-        cfg = cfg.replace(gelu_approx=True)
-    if "--stable-softmax" not in sys.argv:
-        cfg = cfg.replace(softmax_clamp=True)
-    if "--mlp-fusion" in sys.argv:
-        cfg = cfg.replace(mlp_fusion=True)
-    if "--int8-fused" in sys.argv:
-        cfg = cfg.replace(int8_fused_gemm=True)
-    if "--rollout-post" in sys.argv:
-        cfg = cfg.replace(rollout_post=True)
-    # Deliberately NOT routed through serving.apply_serving_mode: bench is
-    # the ablation surface, and every piece of the serving recipe must stay
-    # individually switchable (--no-int8-attn, --int8-dynamic, --gelu-exact,
-    # ...).  The product path for "give me the serving config" is
-    # serving.apply_serving_mode; its composition is pinned against these
-    # flags by the quality table in BENCHMARKS.md.
-    # int8 W8A8 serving (static calibrated scales + int8 attention I/O) is
-    # the default headline config — the 5000 img/s target is unreachable in
-    # bf16 (XLA bf16 GEMMs already run at ~95% of MXU peak; see
-    # BENCHMARKS.md).  --bf16 / --f32 opt out; fidelity of every serving
-    # mode vs the exact f32 path is characterized in BENCHMARKS.md and the
-    # exact math is pinned by the f64 goldens in tests/.
-    use_int8 = ("--int8" in sys.argv
-                or not ("--bf16" in sys.argv or "--f32" in sys.argv))
-    if use_int8 and "--no-int8-attn" not in sys.argv:
-        cfg = cfg.replace(int8_attn_io=True)
-    if "--int8-attn" in sys.argv:
-        cfg = cfg.replace(int8_attn_io=True)
+    cfg, use_int8 = build_cfg(sys.argv, model)
     params = vit.init(cfg, jax.random.key(0))
     if use_int8:
         from vision_transformer_cam_tpu.ops.quant import (

@@ -192,3 +192,26 @@ def test_apply_serving_mode():
         b = np.asarray(got.logits).ravel()
         cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.99, mode
+
+
+def test_bench_default_matches_serving_api():
+    """bench.py's default-flag config (the headline 5 516 img/s number)
+    must equal the product serving config users get from
+    serving.apply_serving_mode('int8') — bench assembles it from ablation
+    flags, so this pins the two paths against drift.  attn_impl is
+    excluded: bench always targets the TPU kernel, the API resolves by
+    the live backend."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import bench
+    from vision_transformer_cam_tpu import serving
+
+    bench_cfg, use_int8 = bench.build_cfg(["bench.py"])
+    assert use_int8
+    api_cfg = serving.serving_config(
+        configs.vit_base_patch16_224_in21k(num_classes=20).replace(
+            representation_size=None), "int8")
+    bench_d = dict(vars(bench_cfg))
+    api_d = dict(vars(api_cfg))
+    bench_d.pop("attn_impl"), api_d.pop("attn_impl")
+    assert bench_d == api_d
