@@ -319,3 +319,23 @@ def test_validate_cli_native_decode(voc_tree, tmp_path, tiny_zoo,
     assert np.isfinite(r_nat["mAP"])
     assert abs(r_nat["mAP"] - r_pil["mAP"]) < 0.05
     assert abs(r_nat["mIoU"] - r_pil["mIoU"]) < 0.05
+
+
+def test_validate_cli_weights_plus_serving(voc_tree, tmp_path, tiny_zoo,
+                                           monkeypatch):
+    """The deployment user path: load fine-tuned .npz weights AND switch on
+    the int8 serving mode in one validate invocation."""
+    from vision_transformer_cam_tpu.cli import validate as vcli
+    from vision_transformer_cam_tpu.io import weights as wio
+    from vision_transformer_cam_tpu.models import vit
+    monkeypatch.chdir(tmp_path)
+    params = vit.init(configs.MODEL_ZOO[tiny_zoo](), jax.random.key(3))
+    wpath = str(tmp_path / "tuned.npz")
+    wio.save_npz(wpath, params)
+    res = vcli.main(["--model_name", tiny_zoo,
+                     "--dataset_path", str(voc_tree),
+                     "--val_img_name_path", str(voc_tree / "split.txt"),
+                     "--batch_size", "2", "--weights", wpath,
+                     "--attn_impl", "pallas", "--serving", "int8",
+                     "--seg_pred_dir", str(tmp_path / "spw")])
+    assert np.isfinite(res["mAP"]) and np.isfinite(res["mIoU"])
