@@ -264,3 +264,25 @@ def test_distilled_config_token_offsets():
     np.testing.assert_allclose(np.asarray(out.top_patch_embeds), want,
                                atol=1e-6)
 
+
+
+def test_softmax_clamp_neutralized_in_training():
+    """cfg.softmax_clamp is a serving-only knob: the backward kernels
+    differentiate un-clamped softmax, so the training forward must
+    neutralize the clamp — loss AND gradients identical to the
+    clamp-free config."""
+    cfg0 = TINY.replace(attn_impl="pallas")
+    cfg1 = cfg0.replace(softmax_clamp=True)
+    params = vit.init(cfg0, jax.random.key(2))
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+
+    def loss(p, cfg):
+        out = vit.forward(p, x, cfg, train=True, rng=jax.random.key(0))
+        return jnp.sum(out.logits ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, cfg0)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg1)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

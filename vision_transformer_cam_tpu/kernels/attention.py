@@ -283,6 +283,8 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     if int8_io and scales is None:
         raise ValueError("int8 qkv requires the scales vector")
     f_dtype = float_dtype if int8_io else qkv.dtype
+    if block_b < 1:
+        raise ValueError(f"block_b must be >= 1, got {block_b}")
     while b % block_b:
         block_b //= 2
     bb = max(block_b, 1)
@@ -336,7 +338,11 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
             dimension_semantics=("parallel",)),  # batch: megacore-splittable
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * num_heads * n * n * dh,
-            bytes_accessed=2 * b * n * (c3 + c) * qkv.dtype.itemsize,
+            # qkv in + out, PLUS the [B,N,N] joint (read+write) or headmean
+            # (write) traffic — the dominant term for the rollout variants
+            bytes_accessed=(2 * b * n * (c3 + c) * qkv.dtype.itemsize
+                            + (2 * b * n * n * 4 if joint is not None else 0)
+                            + (b * n * n * 4 if with_headmean else 0)),
             transcendentals=b * num_heads * n * n,
         ),
         interpret=interpret,
@@ -617,7 +623,14 @@ def _fused_fwd(qkv, bg, num_heads, scale, mask_value, clamp_softmax=False):
 def _fused_bwd(num_heads, scale, mask_value, clamp_softmax, residuals,
                cotangents):
     qkv, bg = residuals
-    d_out, _d_cls = cotangents  # cls-row cotangent provably zero in the model
+    # The cls-row cotangent is structurally zero for every consumer in this
+    # model: mask-gen and top-k selection read cls_row only through
+    # comparisons / argsort indices (zero gradient).  The TPU branch relies
+    # on that and drops it; the XLA vjp below propagates it.  If a
+    # DIFFERENTIABLE cls_row consumer is ever added (e.g. attention-
+    # supervision loss), extend masked_attention_bwd accordingly or the two
+    # platforms will silently disagree.
+    d_out, _d_cls = cotangents
     if jax.default_backend() == "tpu":
         d_qkv = masked_attention_bwd(
             qkv, bg, d_out, num_heads=num_heads, scale=scale,
@@ -638,8 +651,10 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
                      hm_dtype=None):
     """Drop-in for models.vit._attention_xla (same signature/returns) using
     the fused kernel.  Falls back to the XLA path when the caller needs the
-    per-head probability tensors (predict/validate visualization) or dropout
-    rngs (training — the kernel has no backward pass yet)."""
+    per-head probability tensors (predict/validate visualization) or
+    attention/projection DROPOUT (the fused kernel and its Pallas backward
+    — masked_attention_bwd — support training, but not in-kernel dropout
+    masks)."""
     needs_dropout = rngs and (cfg.attn_drop_ratio > 0 or cfg.drop_ratio > 0)
     if need_probs == "perhead" or needs_dropout:
         from vision_transformer_cam_tpu.models.vit import _attention_xla

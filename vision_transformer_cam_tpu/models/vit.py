@@ -274,6 +274,13 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                      need_headmean=False, need_blocks=False,
                      need_perhead=False, need_rollout=False):
     """vit_model.py:303-408 as a scan.  x: [B, H, W, C]."""
+    if train and cfg.softmax_clamp:
+        # clamp-softmax is a SERVING-only knob: the backward kernels (and
+        # the XLA fallback) differentiate un-clamped softmax, so training
+        # through min(s, 80) would silently produce wrong gradients
+        # whenever the clamp engages.  Neutralize it here — the training
+        # forward then matches the math its backward differentiates.
+        cfg = cfg.replace(softmax_clamp=False)
     b = x.shape[0]
     tokens = patch_embed(params["patch_embed"], x.astype(cfg.dtype), cfg)
     cls = jnp.broadcast_to(params["cls_token"].astype(cfg.dtype),
