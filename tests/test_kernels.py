@@ -286,3 +286,48 @@ def test_softmax_clamp_neutralized_in_training():
     assert float(l0) == float(l1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_qkv_bias_false_is_honored():
+    """cfg.qkv_bias=False must build a bias-free qkv projection (it mirrors
+    nn.Linear(dim, 3*dim, bias=qkv_bias), vit_model.py:98) — previously the
+    knob was declared but silently ignored."""
+    cfg = TINY.replace(qkv_bias=False)
+    params = vit.init(cfg, jax.random.key(0))
+    assert "bias" not in params["blocks"]["attn"]["qkv"]
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 32, 32, 3)),
+                    jnp.float32)
+    for impl in ("xla", "pallas"):
+        out = vit.apply(params, x, cfg.replace(attn_impl=impl),
+                        need_rollout=True)
+        assert np.isfinite(np.asarray(out.logits)).all()
+        assert np.isfinite(np.asarray(out.rollout_row)).all()
+
+
+def test_distilled_head_dist_trains():
+    """Distilled training must give head_dist a gradient (the reference
+    returns (x, x_dist) in training so both heads get loss,
+    vit_model.py:414-417) — previously dist_logits was computed and
+    dropped, leaving head_dist untrained while eval averaged it in."""
+    from vision_transformer_cam_tpu.train.step import loss_fn
+    cfg = TINY.replace(distilled=True)
+    params = vit.init(cfg, jax.random.key(0))
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 20)) < 0.2), jnp.float32)
+    grads = jax.grad(lambda p: loss_fn(p, x, y, cfg, jax.random.key(1))[0])(
+        params)
+    g = np.asarray(grads["head_dist"]["kernel"])
+    assert np.abs(g).max() > 0
+
+
+def test_calibrate_act_scales_distilled():
+    """int8 calibration must handle the dist token (cfg.seq_len counts it;
+    the pos-embed add used to shape-mismatch for distilled models)."""
+    from vision_transformer_cam_tpu.ops import quant
+    cfg = TINY.replace(distilled=True)
+    params = vit.init(cfg, jax.random.key(0))
+    calib = jnp.asarray(
+        np.random.default_rng(9).standard_normal((2, 32, 32, 3)), jnp.float32)
+    scales = quant.calibrate_act_scales(params, cfg, calib)
+    assert scales["blocks"]["qkv"].shape == (cfg.depth,)

@@ -68,6 +68,11 @@ class ViTCAMOutput(NamedTuple):
     # reference's attn_matrix[11] is (vit_model.py:324,402: norm comes after
     # collection); the pseudo-seg cosine maps read it (validate.py:163).
     tokens_prenorm: Optional[jax.Array] = None
+    # distilled models only: the dist-head logits.  During training the
+    # reference returns (x, x_dist) so BOTH heads receive loss
+    # (vit_model.py:414-419); exposing them here lets the train loss do
+    # the same (logits is already their average at eval).
+    dist_logits: Optional[jax.Array] = None
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +130,17 @@ def init(cfg: ViTCAMConfig, key: jax.Array):
         return {"kernel": _trunc_normal(next(keys), (kin, kout), std, pdt),
                 "bias": jnp.zeros((kout,), pdt)}
 
+    def torch_default_linear(kin, kout):
+        # torch nn.Linear default init (kaiming_uniform a=sqrt(5) ->
+        # U(-1/sqrt(fan_in), +), bias likewise).  head1 is created AFTER
+        # the reference's self.apply(_init_vit_weights)
+        # (vit_model.py:290-295), so it keeps exactly this init.
+        bound = 1.0 / jnp.sqrt(kin)
+        k1, k2 = jax.random.split(next(keys))
+        return {"kernel": jax.random.uniform(
+                    k1, (kin, kout), pdt, -bound, bound),
+                "bias": jax.random.uniform(k2, (kout,), pdt, -bound, bound)}
+
     def ln(dim):
         return {"scale": jnp.ones((dim,), pdt), "bias": jnp.zeros((dim,), pdt)}
 
@@ -139,7 +155,7 @@ def init(cfg: ViTCAMConfig, key: jax.Array):
         "cls_token": _trunc_normal(next(keys), (1, 1, d), 0.02, pdt),
         "pos_embed": _trunc_normal(next(keys), (1, cfg.seq_len, d), 0.02, pdt),
         "norm": ln(d),
-        "head1": linear(d, nc),
+        "head1": torch_default_linear(d, nc),
     }
     if cfg.distilled:
         params["dist_token"] = _trunc_normal(next(keys), (1, 1, d), 0.02, pdt)
@@ -153,13 +169,18 @@ def init(cfg: ViTCAMConfig, key: jax.Array):
     def one_block(k):
         k = iter(jax.random.split(k, 8))
 
-        def blin(kin, kout):
-            return {"kernel": _trunc_normal(next(k), (kin, kout), 0.01, pdt),
-                    "bias": jnp.zeros((kout,), pdt)}
+        def blin(kin, kout, bias=True):
+            p = {"kernel": _trunc_normal(next(k), (kin, kout), 0.01, pdt)}
+            if bias:
+                p["bias"] = jnp.zeros((kout,), pdt)
+            return p
 
         return {
             "ln1": ln(d),
-            "attn": {"qkv": blin(d, 3 * d), "proj": blin(d, d)},
+            # cfg.qkv_bias mirrors nn.Linear(dim, 3*dim, bias=qkv_bias)
+            # (vit_model.py:98) — previously declared but never honored
+            "attn": {"qkv": blin(d, 3 * d, bias=cfg.qkv_bias),
+                     "proj": blin(d, d)},
             "ln2": ln(d),
             "mlp": {"fc1": blin(d, hid), "fc2": blin(hid, d)},
         }
@@ -186,16 +207,16 @@ def _linear(x, p, cfg):
                 and x.dtype != jnp.int8:
             from vision_transformer_cam_tpu.kernels.gemm import (
                 linear_int8_fused)
-            cs = (p["scale"].reshape(1, -1)
-                  * p["act_scale"]).astype(jnp.float32)
+            from vision_transformer_cam_tpu.ops.quant import combined_scale
+            cs = combined_scale(p)
             return linear_int8_fused(
                 x, p["kernel_q"], cs, p["bias"], 1.0 / p["act_scale"],
                 out_dtype=cfg.dtype,
                 interpret=jax.default_backend() != "tpu")
         from vision_transformer_cam_tpu.ops.quant import qlinear
         return qlinear(x, p, p.get("bias"), out_dtype=cfg.dtype)
-    return jnp.dot(x, p["kernel"],
-                   preferred_element_type=cfg.dtype) + p["bias"]
+    y = jnp.dot(x, p["kernel"], preferred_element_type=cfg.dtype)
+    return y + p["bias"] if "bias" in p else y  # qkv_bias=False omits it
 
 
 def patch_embed(params, x, cfg: ViTCAMConfig):
@@ -231,6 +252,11 @@ def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs,
                       preferred_element_type=cfg.dtype) * cfg.scale
     pair = jnp.minimum(bg[:, :, None] + bg[:, None, :], 1.0)
     attn = attn + (cfg.mask_value * pair)[:, None, :, :]
+    if cfg.softmax_clamp:
+        # honor the serving knob on the XLA path too (it was a silent
+        # no-op here): softmax is shift-invariant, so softmax(min(s, 80))
+        # reproduces the kernel's clamp math exactly
+        attn = jnp.minimum(attn, 80.0)
     probs = jax.nn.softmax(attn, axis=-1)
 
     headmean = jnp.mean(probs, axis=1)            # [B, N, N]
@@ -341,8 +367,10 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         # being collected (the kernel emits one [N,N] output per call)
         fuse_rollout = carry_rollout and not (need_headmean or need_perhead)
         # v3 whole-sub-block kernel (qkv GEMM + attention + proj + residual
-        # in one program): inference, float weights, no stacked probs needed
-        use_block_kernel = (cfg.attn_impl == "pallas"
+        # in one program): inference, float weights, no stacked probs needed.
+        # Gated on `train`, not on rngs: deterministic training (all drop
+        # ratios 0 -> rngs is None) must still avoid these no-VJP kernels.
+        use_block_kernel = (cfg.attn_impl == "pallas" and not train
                             and cfg.attn_block_fusion and rngs is None
                             and need_probs in (None, "headmean")
                             and (need_probs is None or fuse_rollout)
@@ -352,7 +380,9 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                 attention_block_fused)
             res = attention_block_fused(
                 xn, tok, lp["attn"]["qkv"]["kernel"],
-                lp["attn"]["qkv"]["bias"], lp["attn"]["proj"]["kernel"],
+                lp["attn"]["qkv"].get(
+                    "bias", jnp.zeros((3 * cfg.embed_dim,), cfg.dtype)),
+                lp["attn"]["proj"]["kernel"],
                 lp["attn"]["proj"]["bias"], bg,
                 joint if fuse_rollout else None,
                 num_heads=cfg.num_heads, scale=cfg.scale,
@@ -372,14 +402,18 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         yn = _layer_norm(tok, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.ln_eps)
         f1, f2 = lp["mlp"]["fc1"], lp["mlp"]["fc2"]
         # serving-only fused MLP kernel: the [B*N, 4C] hidden tensor stays in
-        # VMEM instead of round-tripping HBM between fc1 and fc2
-        use_mlp_kernel = cfg.mlp_fusion and not use_rng
-        if use_mlp_kernel and "kernel_q" in f1 and "act_scale" in f1:
+        # VMEM instead of round-tripping HBM between fc1 and fc2.  `not
+        # train`: these kernels have no VJP (same rationale as the block
+        # kernel above).  The int8 branch requires BOTH fc1 and fc2 to be
+        # fully quantized with static scales — a partially-quantized tree
+        # falls through to the graceful unfused path instead of KeyError.
+        use_mlp_kernel = cfg.mlp_fusion and not train and not use_rng
+        if use_mlp_kernel and all(k in p for p in (f1, f2)
+                                  for k in ("kernel_q", "act_scale")):
             from vision_transformer_cam_tpu.kernels.gemm import mlp_fused_int8
-            cs1 = (f1["scale"].reshape(1, -1)
-                   * f1["act_scale"]).astype(jnp.float32)
-            cs2 = (f2["scale"].reshape(1, -1)
-                   * f2["act_scale"]).astype(jnp.float32)
+            from vision_transformer_cam_tpu.ops.quant import combined_scale
+            cs1 = combined_scale(f1)
+            cs2 = combined_scale(f2)
             ymlp = mlp_fused_int8(
                 yn, f1["kernel_q"], cs1, f1["bias"], f2["kernel_q"], cs2,
                 f2["bias"], 1.0 / f1["act_scale"], 1.0 / f2["act_scale"],
@@ -449,12 +483,15 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
     elif rollout_post:
         # row = ((e_cls A_L) A_{L-1}) ... A_1 with A_l = (hm_l + I)/2 (rows
         # of hm sum to 1, so (A+I) row-normalizes to exactly /2); reversed
-        # vector-matrix chain in f32 over the stacked head-mean matrices.
-        r0 = jnp.zeros((b, n), jnp.float32).at[:, 0].set(1.0)
+        # vector-matrix chain over the stacked head-mean matrices.  At
+        # least f32, but follow rollout_dtype UP (f64 parity runs must not
+        # be silently computed in f32).
+        chain_dt = jnp.promote_types(jnp.float32, rollout_dtype)
+        r0 = jnp.zeros((b, n), chain_dt).at[:, 0].set(1.0)
 
         def chain(r, hm_l):
-            prod = jnp.einsum("bn,bnm->bm", r, hm_l.astype(jnp.float32),
-                              preferred_element_type=jnp.float32)
+            prod = jnp.einsum("bn,bnm->bm", r, hm_l.astype(chain_dt),
+                              preferred_element_type=chain_dt)
             return 0.5 * (prod + r), None
 
         r, _ = jax.lax.scan(chain, r0, hms, reverse=True)
@@ -510,13 +547,17 @@ def forward(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         need_rollout=need_rollout)
     logits = jnp.dot(cls_feat, params["head"]["kernel"],
                      preferred_element_type=cfg.dtype) + params["head"]["bias"]
+    dist_logits = None
     if cfg.distilled:
         dist_logits = jnp.dot(aux["dist_feat"], params["head_dist"]["kernel"],
                               preferred_element_type=cfg.dtype) \
             + params["head_dist"]["bias"]
+        # train: keep the heads separate (the loss reads dist_logits so
+        # head_dist actually trains — vit_model.py:414-417); eval: average
         logits = logits if train else (logits + dist_logits) / 2.0
     return ViTCAMOutput(
         logits=logits,
+        dist_logits=dist_logits if train else None,
         head1_logits=aux["head1_logits"],
         attn_cls_rows=aux["attn_cls_rows"],
         top_patch_embeds=aux["top_patch_embeds"],

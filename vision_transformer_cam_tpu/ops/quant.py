@@ -76,6 +76,14 @@ def qlinear_requant(x, qp, out_scales, groups: int = 3):
     return jnp.clip(jnp.round(y / s_col), -127, 127).astype(jnp.int8)
 
 
+def combined_scale(qp):
+    """Column scale for a fused int8 epilogue: per-output-channel weight
+    scale x static activation scale, as one [1, out] f32 row (the single
+    definition the Pallas int8 GEMM callers share)."""
+    return (qp["scale"].reshape(1, -1)
+            * qp["act_scale"]).astype(jnp.float32)
+
+
 def qlinear_gelu_requant(x, qp, out_scale, gelu_approx=True):
     """fc1 GEMM -> GELU -> int8 requantize as one (XLA-fused) epilogue
     chain: the [B, N, hidden] activation reaches HBM as int8 — half the
@@ -103,7 +111,7 @@ def quantize_params(params, act_scales=None):
     out = copy.deepcopy(jax.tree.map(lambda x: x, params))
 
     def q(node, scale=None):
-        d = dict(quantize_weight(node["kernel"]), bias=node["bias"])
+        d = dict(quantize_weight(node["kernel"]), bias=node.get("bias"))
         if scale is not None:
             d["act_scale"] = jnp.asarray(scale, jnp.float32)
         return d
@@ -136,7 +144,14 @@ def calibrate_act_scales(params, cfg, images, margin: float = 1.0):
     b = x.shape[0]
     cls = jnp.broadcast_to(params["cls_token"].astype(cfg.dtype),
                            (b, 1, cfg.embed_dim))
-    tokens = jnp.concatenate([cls, tokens], axis=1) \
+    prefix = [cls]
+    if cfg.distilled:
+        # the dist token is part of the sequence (cfg.seq_len counts it);
+        # omitting it made pos_embed's add shape-mismatch for distilled
+        # models (round-2 review finding)
+        prefix.append(jnp.broadcast_to(
+            params["dist_token"].astype(cfg.dtype), (b, 1, cfg.embed_dim)))
+    tokens = jnp.concatenate(prefix + [tokens], axis=1) \
         + params["pos_embed"].astype(cfg.dtype)
 
     bg = jnp.zeros((b, cfg.seq_len), cfg.dtype)
@@ -150,7 +165,7 @@ def calibrate_act_scales(params, cfg, images, margin: float = 1.0):
         sc["qkv"].append(_absmax(xn))
         qkv_out = jnp.dot(xn, lp["attn"]["qkv"]["kernel"],
                           preferred_element_type=cfg.dtype) \
-            + lp["attn"]["qkv"]["bias"]
+            + lp["attn"]["qkv"].get("bias", 0.0)
         qkv_out_amax.append([_absmax(qkv_out[..., :c]),
                              _absmax(qkv_out[..., c:2 * c]),
                              _absmax(qkv_out[..., 2 * c:])])
@@ -196,7 +211,8 @@ def _pre_proj(ap, x, bg, cfg):
     b, n, c = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
     qkv = jnp.dot(x, ap["qkv"]["kernel"],
-                  preferred_element_type=cfg.dtype) + ap["qkv"]["bias"]
+                  preferred_element_type=cfg.dtype) \
+        + ap["qkv"].get("bias", 0.0)
     qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,

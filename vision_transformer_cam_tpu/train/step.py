@@ -49,6 +49,13 @@ def f1_micro(pred_multihot, labels):
 def loss_fn(params, images, labels, cfg: ViTCAMConfig, rng):
     out = vit.forward(params, images, cfg, train=True, rng=rng)
     loss, parts = dual_head_loss(out.logits, out.head1_logits, labels)
+    if out.dist_logits is not None:
+        # distilled: the dist head gets the same multilabel loss so it
+        # actually trains (the reference returns (x, x_dist) in training —
+        # vit_model.py:414-417; eval averages the two heads)
+        from vision_transformer_cam_tpu.ops.losses import (
+            multilabel_soft_margin_loss)
+        loss = loss + multilabel_soft_margin_loss(out.dist_logits, labels)
     return loss, (parts, out.logits)
 
 
