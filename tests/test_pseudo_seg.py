@@ -79,7 +79,10 @@ def test_np_bilinear_matches_torch():
 
 
 def test_patch_class_assignment_mode_semantics():
-    """Hand case: tie-break = smallest class; empty patch = filler 21+p."""
+    """Hand case: tie-break = smallest class; empty patch = the filler
+    num_classes+1+p (== the reference's literal 21+p for its 20 classes —
+    basing it on num_classes keeps fillers collision-free for bigger
+    heads)."""
     probs = jnp.asarray([[0.95, 0.95, 0.0, 0.0]])          # classes 0,1 on
     kernel_t = jnp.asarray([[  # [C=4, D=6]
         [3., 0., 3., 0., 0., 0.],
@@ -104,4 +107,5 @@ def test_patch_class_assignment_mode_semantics():
     top_all0 = jnp.zeros_like(top).at[:, 0, :].set(1.0)
     got2 = np.asarray(ps._patch_class_assignment(probs, kernel_t, top_all0,
                                                  0.9))
-    np.testing.assert_array_equal(got2[0], [0, 21 + 1, 21 + 2])
+    nc = probs.shape[-1]
+    np.testing.assert_array_equal(got2[0], [0, nc + 1 + 1, nc + 1 + 2])

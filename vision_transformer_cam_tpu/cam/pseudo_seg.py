@@ -42,7 +42,6 @@ class PseudoSegDeviceOut(NamedTuple):
     #                           the reference's filler 21+p fallback
     cos_maps: jax.Array       # [B, K, g, g] cosine similarity maps
     bg_row: jax.Array         # [B, g, g] rollout bg weights in [0, 1]
-    probs_head1: jax.Array    # [B, num_classes] sigmoid(head1)
 
 
 def _patch_class_assignment(probs, head1_kernel_t, top_embeds, cls_threshold):
@@ -62,10 +61,12 @@ def _patch_class_assignment(probs, head1_kernel_t, top_embeds, cls_threshold):
     # torch.mode tie-break = smallest of the most frequent values; class ids
     # always < the arange fillers, so: if any feature lands on the patch the
     # smallest argmax class wins (jnp.argmax returns the first maximum),
-    # else the untouched filler column minimum 21 + p (validate.py:146).
+    # else the untouched filler column minimum num_classes+1+p — 21+p for
+    # the reference's 20 classes (validate.py:146); basing it on c keeps
+    # fillers collision-free when num_classes > 20.
     best = jnp.argmax(counts, axis=-1).astype(jnp.int32)         # [B, K]
     has_any = jnp.sum(counts, axis=-1) > 0
-    filler = 21 + jnp.arange(k, dtype=jnp.int32)[None, :]
+    filler = (c + 1) + jnp.arange(k, dtype=jnp.int32)[None, :]
     return jnp.where(has_any, best, filler)
 
 
@@ -81,15 +82,19 @@ def pseudo_seg_device(out: vit.ViTCAMOutput, cfg: ViTCAMConfig,
     # cosine maps (validate.py:163-174): L2-normalize final-block patch
     # embeddings (pre final-norm) and the K gathered embeddings
     patch_embed = out.tokens_prenorm[:, cfg.num_tokens:, :]      # [B, P, D]
-    pe = patch_embed / jnp.linalg.norm(patch_embed, axis=-1, keepdims=True)
+    # torch F.normalize clamps the norm at 1e-12 (validate.py:168-169) — a
+    # zero-norm row must yield 0.0 cosines, not NaN
+    pe = patch_embed / jnp.linalg.norm(
+        patch_embed, axis=-1, keepdims=True).clip(1e-12)
     he = out.top_patch_embeds / jnp.linalg.norm(
-        out.top_patch_embeds, axis=-1, keepdims=True)
+        out.top_patch_embeds, axis=-1, keepdims=True).clip(1e-12)
     cos = jnp.einsum("bkd,bpd->bkp", he, pe)                     # [B, K, P]
     cos_maps = cos.reshape(cos.shape[0], cos.shape[1], g, g)
 
-    bg = bg_rollout_row(out.attn_cls_rows, pcfg.bg_blocks_from)  # [B, P]
+    bg = bg_rollout_row(out.attn_cls_rows, pcfg.bg_blocks_from,
+                        prefix_tokens=cfg.num_tokens)           # [B, P]
     bg_row = bg.reshape(bg.shape[0], g, g)
-    return PseudoSegDeviceOut(patch_to_cls, cos_maps, bg_row, probs)
+    return PseudoSegDeviceOut(patch_to_cls, cos_maps, bg_row)
 
 
 def np_bilinear_resize(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:

@@ -71,31 +71,36 @@ def rollout_cls_row(headmean_stack):
     return v
 
 
-def rollout_cam(headmean_stack, grid_size):
+def rollout_cam(headmean_stack, grid_size, prefix_tokens: int = 1):
     """predict.py:229-247: final joint cls->patch row, reshaped to the patch
-    grid and normalized by its max.  Returns [B, g, g] in [0, 1]."""
+    grid and normalized by its max.  Returns [B, g, g] in [0, 1].
+
+    prefix_tokens: number of non-patch tokens to drop (cfg.num_tokens —
+    2 for distilled configs)."""
     v = rollout_cls_row(headmean_stack)
-    mask = v[:, 1:].reshape(v.shape[0], grid_size, grid_size)
+    mask = v[:, prefix_tokens:].reshape(v.shape[0], grid_size, grid_size)
     return mask / jnp.max(mask, axis=(1, 2), keepdims=True)
 
 
-def cam_from_rollout_row(rollout_row, grid_size):
+def cam_from_rollout_row(rollout_row, grid_size, prefix_tokens: int = 1):
     """Final joint cls->patch row (the model's fused in-scan rollout carry) to
     a max-normalized CAM grid (predict.py:229-247).  [B, N] -> [B, g, g]."""
-    m = rollout_row[:, 1:].reshape(rollout_row.shape[0], grid_size, grid_size)
+    m = rollout_row[:, prefix_tokens:].reshape(
+        rollout_row.shape[0], grid_size, grid_size)
     return m / jnp.max(m, axis=(1, 2), keepdims=True)
 
 
-def per_block_cams(cls_rows, grid_size):
+def per_block_cams(cls_rows, grid_size, prefix_tokens: int = 1):
     """predict.py:261-274: per-block aug cls rows, max-normalized per block.
     cls_rows: [L, B, N] -> [L, B, g, g]."""
     aug0 = aug_cls_row(cls_rows)
-    m = aug0[..., 1:]
+    m = aug0[..., prefix_tokens:]
     m = m.reshape(*m.shape[:-1], grid_size, grid_size)
     return m / jnp.max(m, axis=(-1, -2), keepdims=True)
 
 
-def bg_rollout_row(cls_rows, from_block: int):
+def bg_rollout_row(cls_rows, from_block: int,
+                   prefix_tokens: int = 1):
     """validate.py:224-235: head-mean attention averaged over blocks
     [from_block:], one rollout step, cls->patch row normalized by max.
 
@@ -103,7 +108,12 @@ def bg_rollout_row(cls_rows, from_block: int):
     equals running aug_cls_row on the averaged cls rows, since row sums of the
     average stay 1.  cls_rows: [L, B, N] -> [B, num_patches] in [0, 1].
     """
+    if from_block >= cls_rows.shape[0]:
+        raise ValueError(
+            f"bg rollout from_block={from_block} >= depth "
+            f"{cls_rows.shape[0]}: the empty mean would be silently NaN "
+            "and every pseudo-seg pixel background")
     row = jnp.mean(cls_rows[from_block:], axis=0)
     aug0 = aug_cls_row(row)
-    m = aug0[:, 1:]
+    m = aug0[:, prefix_tokens:]
     return m / jnp.max(m, axis=-1, keepdims=True)
