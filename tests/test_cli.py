@@ -298,6 +298,15 @@ def test_export_cli_data_parallel(tmp_path, tiny_zoo):
     import json
     meta = json.load(open(out + ".json"))
     assert meta["nr_devices"] == len(jax.devices())
+    # and with the PALLAS lowering shard_mapped over the mesh (interpret on
+    # CPU): the multi-chip serving artifact with the real serving kernels
+    out2 = str(tmp_path / "tiny_dp_pallas.jaxex")
+    ecli.main(["--model_name", tiny_zoo, "--serving", "bf16",
+               "--attn_impl", "pallas",
+               "--batch", "16", "--data_parallel", "--out", out2,
+               "--check"])
+    meta2 = json.load(open(out2 + ".json"))
+    assert meta2["nr_devices"] == len(jax.devices())
 
 
 def test_validate_cli_native_decode(voc_tree, tmp_path, tiny_zoo,

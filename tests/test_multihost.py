@@ -101,6 +101,18 @@ val_loader = BatchLoader(_ValDS(), 4, shuffle=False, drop_last=True,
                          process_count=jax.process_count())
 em = evaluate(state.params, val_loader, cfg, mesh)
 assert np.isfinite(em["mAP_196patch"])
+assert em["n_samples"] == 16
+
+# odd-size val set (15 over 2 hosts): the loader pads the stripe by
+# wrapping, and evaluate() must count each sample exactly ONCE — the
+# DistributedSampler wrap bias fixed by construction (round-2 verdict
+# weak #6)
+val_loader15 = BatchLoader(_ValDS(15), 4, shuffle=False, drop_last=False,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())
+em15 = evaluate(state.params, val_loader15, cfg, mesh)
+assert em15["n_samples"] == 15, em15
+assert np.isfinite(em15["mAP_196patch"])
 
 print(f"OK process={jax.process_index()} loss={loss:.4f} "
       f"mAP={em['mAP_196patch']:.6f}", flush=True)

@@ -132,6 +132,82 @@ def test_int8_attn_io_kernel_matches_dequant_reference():
     np.testing.assert_allclose(np.asarray(cls_got), cls_ref, atol=1e-5)
 
 
+def test_int8_attn_io_per_head_scales_kernel():
+    """Per-head scales form [3H+1]: the kernel dequantizes each head's
+    q/k/v slice with its own scale — numerically equal to the dequantized
+    float reference, and strictly more accurate than per-tensor scales
+    when head magnitudes differ (the round-2 CAM-fidelity lever)."""
+    from vision_transformer_cam_tpu.kernels.attention import (
+        masked_attention_fused)
+    rng = np.random.default_rng(13)
+    b, h, n, dh = 2, 4, 23, 16
+    c = h * dh
+    # heads with wildly different magnitudes: per-tensor absmax wastes the
+    # int8 range of the small heads
+    head_mag = np.array([0.05, 0.4, 1.0, 3.0])
+    qkv_f = rng.standard_normal((b, n, 3, h, dh)).astype(np.float32) \
+        * head_mag[None, None, None, :, None]
+    amax = np.abs(qkv_f).max(axis=(0, 1, 4))            # [3, H]
+    sc_head = amax / 127.0                              # per-head
+    sc_tensor = amax.max(axis=1, keepdims=True) / 127.0  # per-tensor
+
+    def quantize(f, sc):
+        return np.clip(np.round(f / sc[None, None, :, :, None]),
+                       -127, 127).astype(np.int8)
+
+    bg = jnp.zeros((b, n), jnp.float32)
+    s_out = 0.05
+
+    def run(qkv_q, scales_vec):
+        flat = jnp.asarray(
+            qkv_q.transpose(0, 1, 2, 3, 4).reshape(b, n, 3 * c), jnp.int8)
+        return masked_attention_fused(
+            flat, bg, None, jnp.asarray(scales_vec, jnp.float32),
+            num_heads=h, scale=0.25, float_dtype=jnp.float32,
+            interpret=True)
+
+    # float truth on the UNquantized values; the CAM-relevant quantity is
+    # cls_row (the head-MEAN softmax row — every head contributes equally,
+    # so small-magnitude heads crushed by a per-tensor scale dominate its
+    # error; the int8 OUTPUT error is instead dominated by the s_out
+    # quantum, identical under both scale forms)
+    q, k, v = (qkv_f[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    cls_truth = p.mean(1)[:, 0, :]
+
+    errs = {}
+    for name, sc in (("head", sc_head), ("tensor", sc_tensor)):
+        qq = quantize(qkv_f, sc if name == "head"
+                      else np.broadcast_to(sc_tensor, amax.shape))
+        if name == "head":
+            vec = np.concatenate([sc[0], sc[1], sc[2], [1.0 / s_out]])
+        else:
+            vec = np.array([sc_tensor[0, 0], sc_tensor[1, 0],
+                            sc_tensor[2, 0], 1.0 / s_out])
+        _, cls_got = run(qq, vec)
+        errs[name] = np.abs(np.asarray(cls_got) - cls_truth).mean()
+
+        # scale-indexing parity: the kernel on quantized operands must
+        # equal float attention on the DEQUANTIZED operands (a mixed-up
+        # sq/sk/sv slot would blow this up by orders of magnitude)
+        scb = sc if name == "head" else np.broadcast_to(sc_tensor,
+                                                        amax.shape)
+        deq = qq.astype(np.float32) * scb[None, None, :, :, None]
+        qd, kd, vd = (deq[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        sd = np.einsum("bhqd,bhkd->bhqk", qd, kd) * 0.25
+        ed = np.exp(sd - sd.max(-1, keepdims=True))
+        pd = ed / ed.sum(-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(cls_got),
+                                   pd.mean(1)[:, 0, :], atol=1e-5,
+                                   err_msg=name)
+    # per-head quantization reconstructs the rollout row measurably better
+    # (the margin grows with head-magnitude spread; end-to-end CAM deltas
+    # on trained weights are measured by scripts/quality_eval.py)
+    assert errs["head"] < 0.8 * errs["tensor"], errs
+
+
 def test_int8_attn_io_model_forward_close():
     """Full model with cfg.int8_attn_io: same accuracy class as plain int8
     quantization; CAM machinery runs; output plumbing intact."""
@@ -139,10 +215,12 @@ def test_int8_attn_io_model_forward_close():
     rng = np.random.default_rng(12)
     calib = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
     scales = quant.calibrate_act_scales(params, TINY, calib)
-    assert scales["blocks"]["qkv_out"].shape == (TINY.depth, 3)
+    # per-head (q, k, v) output scales [depth, 3, H]
+    assert scales["blocks"]["qkv_out"].shape == (TINY.depth, 3,
+                                                 TINY.num_heads)
     qparams = quant.quantize_params(params, act_scales=scales)
     assert qparams["blocks"]["attn"]["qkv"]["out_scales"].shape == \
-        (TINY.depth, 3)
+        (TINY.depth, 3, TINY.num_heads)
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
     cfg = TINY.replace(attn_impl="pallas", int8_attn_io=True)
     ref = vit.apply(params, x, TINY, need_rollout=True)

@@ -29,21 +29,48 @@ def _tiny_batch(b=8, seed=0):
     return jnp.asarray(x), jnp.asarray(y)
 
 
+# Vendored golden LR-per-epoch curve, transcribed from timm's published
+# CosineLRScheduler formula (warmup_prefix=False — what create_scheduler at
+# train_and_validate.py:150-151 builds) for base_lr=5e-4, warmup_lr=1e-6,
+# min_lr=1e-5, warmup=5, epochs=100:
+#   t < 5:        1e-6 + t*(5e-4 - 1e-6)/5
+#   5 <= t < 100: 1e-5 + 0.5*(5e-4 - 1e-5)*(1 + cos(pi * t/100))
+#                 (t NOT shifted by the warmup — warmup epochs count toward
+#                 the cosine phase)
+#   t >= 100:     1e-5   (cycle_limit=1 -> min_lr during cooldown)
+_TIMM_GOLDEN_LR = {
+    0: 1e-06,                     # warmup start: warmup_lr exactly
+    1: 1.008e-4,
+    3: 3.004e-4,
+    4: 4.002e-4,
+    5: 4.969836434458088e-4,      # first cosine epoch: ALREADY below base
+    6: 4.956603764285287e-4,
+    20: 4.5320916362186214e-4,
+    50: 2.55e-4,                  # u=0.5 exactly: (base+min)/2
+    52: 2.3961632271531823e-4,
+    75: 8.175883860929587e-5,
+    99: 1.0120892710395758e-5,
+    100: 1e-5,                    # cooldown floor
+    110: 1e-5,
+}
+
+
 def test_schedule_timm_curve():
     cfg = configs.OptimConfig(lr=5e-4, warmup_epochs=5, warmup_lr=1e-6,
                               min_lr=1e-5, epochs=100,
-                              linear_lr_scaling=True)
-    base = sched.scaled_base_lr(cfg, 32)
+                              linear_lr_scaling=False)
+    base = sched.scaled_base_lr(
+        configs.OptimConfig(lr=5e-4, linear_lr_scaling=True), 32)
     assert base == pytest.approx(5e-4 * 32 / 512)
-    fn = sched.timm_cosine_schedule(cfg, base, steps_per_epoch=10)
-    # epoch 0: warmup_lr exactly
-    assert float(fn(0)) == pytest.approx(1e-6)
-    # constant within an epoch (timm steps per epoch)
+    fn = sched.timm_cosine_schedule(cfg, cfg.lr, steps_per_epoch=10)
+    for epoch, want in _TIMM_GOLDEN_LR.items():
+        assert float(fn(epoch * 10)) == pytest.approx(want, rel=1e-9), \
+            f"epoch {epoch}"
+    # constant within an epoch (timm steps once per epoch)
     assert float(fn(3)) == float(fn(9))
-    # epoch 5 (first post-warmup): cos(0) -> base lr
-    assert float(fn(50)) == pytest.approx(base)
-    # mid-cosine epoch 52.5 epochs -> u=0.5 at epoch 52.5; check epoch 100+
-    assert float(fn(100 * 10)) == pytest.approx(1e-5)   # cooldown floor
+    # warmup_prefix=False signature: the first post-warmup epoch is BELOW
+    # base lr (the cosine already advanced 5/100 of its phase)
+    assert float(fn(50)) < cfg.lr
     # monotone decrease after warmup
     vals = [float(fn(e * 10)) for e in range(5, 100, 7)]
     assert all(a >= b for a, b in zip(vals, vals[1:]))

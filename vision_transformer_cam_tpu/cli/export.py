@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "default: unit-normal random (document your own!)")
     p.add_argument("--no-cam", action="store_true",
                    help="export the classification-only function")
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="override the serving mode's attention impl "
+                        "(auto = pallas on TPU, xla elsewhere)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch over ALL visible devices; the "
                         "artifact then requires the same device count at "
@@ -71,7 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def build_fn(args):
-    """(fn(images), cfg) with params baked in and serving mode applied."""
+    """(fn(images), cfg, calib_provenance) with params baked in and serving
+    mode applied."""
     if args.model_name not in configs.MODEL_ZOO:
         # no silent ViT-B fallback here (the sidecar would record the
         # wrong model): a deployment artifact must be what it says it is
@@ -86,12 +91,33 @@ def build_fn(args):
     else:
         params = vit.init(cfg, jax.random.key(0))
     calib = None
+    calib_provenance = None
     if args.serving == "int8":
-        calib = np.load(args.calib_npy) if args.calib_npy else \
-            np.random.default_rng(7).standard_normal(
+        if args.calib_npy:
+            calib = np.load(args.calib_npy)
+            calib_provenance = args.calib_npy
+        else:
+            calib = np.random.default_rng(7).standard_normal(
                 (8, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+            calib_provenance = "random-unit-normal (NOT real images)"
+            if args.weights:
+                # a deployment artifact built from real weights but random
+                # calibration embeds activation scales unrelated to real
+                # ImageNet-normalized inputs — loudly detectable, not a
+                # silent footgun (round-2 advisor finding)
+                print("WARNING: --weights given but no --calib_npy: int8 "
+                      "activation scales are calibrated on RANDOM NOISE. "
+                      "Pass a representative [N,H,W,3] .npy batch for a "
+                      "production artifact (sidecar records provenance).")
     params, cfg = serving.apply_serving_mode(params, cfg, args.serving,
                                              calib_images=calib)
+    if args.attn_impl != "auto":
+        cfg = cfg.replace(attn_impl=args.attn_impl)
+    if args.data_parallel and cfg.attn_impl == "pallas":
+        # shard_map the Pallas kernels over the mesh's batch axis — XLA's
+        # auto-SPMD otherwise replicates pallas_call across devices (see
+        # configs.ViTCAMConfig.data_axis); main() traces under the mesh
+        cfg = cfg.replace(data_axis="data")
     with_cam = not args.no_cam
 
     def fn(images):
@@ -101,7 +127,7 @@ def build_fn(args):
         cam = rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
         return out.logits, out.head1_logits, cam
 
-    return fn, cfg
+    return fn, cfg, calib_provenance
 
 
 def main(argv=None) -> str:
@@ -120,7 +146,7 @@ def main(argv=None) -> str:
             "cross-platform export would bake the wrong attention kernel "
             f"lowering; run with JAX_PLATFORMS={args.platform} (or on the "
             "target machine) instead")
-    fn, cfg = build_fn(args)
+    fn, cfg, calib_provenance = build_fn(args)
     sharding = None
     if args.data_parallel:
         from vision_transformer_cam_tpu.parallel import (data_sharding,
@@ -135,7 +161,17 @@ def main(argv=None) -> str:
     platforms = [args.platform] if args.platform else None
     jitted = jax.jit(fn, in_shardings=sharding) if sharding is not None \
         else jax.jit(fn)
-    exported = jax.export.export(jitted, platforms=platforms)(spec)
+    import contextlib
+
+    def mesh_ctx():
+        # set_mesh (not `with mesh:`) supplies shard_map's context mesh
+        # inside nested jit traces (the Pallas data_axis wrap); fresh ctx
+        # manager per use — set_mesh's is single-use
+        return jax.set_mesh(mesh) if args.data_parallel \
+            else contextlib.nullcontext()
+
+    with mesh_ctx():
+        exported = jax.export.export(jitted, platforms=platforms)(spec)
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -144,6 +180,7 @@ def main(argv=None) -> str:
             "num_classes": args.num_classes, "with_cam": not args.no_cam,
             "nr_devices": exported.nr_devices,
             "platforms": list(exported.platforms),
+            "calibration": calib_provenance,
             "input": "float32 [batch, H, W, 3], ImageNet-normalized",
             "outputs": "(logits, head1_logits" +
                        (", cam [batch, grid, grid])" if not args.no_cam
@@ -163,8 +200,9 @@ def main(argv=None) -> str:
             (args.batch, cfg.img_size, cfg.img_size, 3)), jnp.float32)
         if sharding is not None:
             x = jax.device_put(x, sharding)
-        got = re.call(x)
-        want = jitted(x)
+        with mesh_ctx():
+            got = re.call(x)
+            want = jitted(x)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
         print(f"check OK: artifact == live fn on random input "

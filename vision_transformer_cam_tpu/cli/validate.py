@@ -131,6 +131,11 @@ def val(args) -> dict:
                                                          make_mesh)
         mesh = make_mesh((-1,), ("data",))
         sharding = data_sharding(mesh)
+        if cfg.attn_impl == "pallas":
+            # shard_map the Pallas kernels over the batch axis — XLA's
+            # auto-SPMD otherwise replicates pallas_call (every device
+            # would redo the full batch); see configs.ViTCAMConfig.data_axis
+            cfg = cfg.replace(data_axis="data")
 
     confmat = ConfusionMatrix(args.num_classes)
     all_ap, n_done, t0 = [], 0, time.time()
@@ -141,11 +146,30 @@ def val(args) -> dict:
         loader_iter = loader
     if args.ori_cam_path:
         os.makedirs(args.ori_cam_path, exist_ok=True)
+    import contextlib
+    # jax.set_mesh (not the plain `with mesh:` resource-env manager) is what
+    # supplies the context mesh shard_map reads inside nested jit traces
+    mesh_ctx = jax.set_mesh(mesh) if mesh is not None \
+        else contextlib.nullcontext()
+    with mesh_ctx:
+        results = _val_loop(args, loader_iter, params, cfg, pcfg, mesh,
+                            sharding, palette, confmat, all_ap, ds, t0)
+    return results
+
+
+def _val_loop(args, loader_iter, params, cfg, pcfg, mesh, sharding, palette,
+              confmat, all_ap, ds, t0):
+    n_done = 0
     for batch in loader_iter:
         images = batch["image"]
+        run_cfg = cfg
         if sharding is not None and images.shape[0] % mesh.size == 0:
             images = jax.device_put(images, sharding)
-        out = vit.apply(params, images, cfg,
+        elif cfg.data_axis is not None:
+            # partial tail batch runs unsharded: drop the shard_map wrap
+            # (its batch-divisibility requirement can't hold here)
+            run_cfg = cfg.replace(data_axis=None)
+        out = vit.apply(params, images, run_cfg,
                         need_rollout=bool(args.ori_cam_path))
         if args.ori_cam_path:
             # BASELINE config #3: rollout-CAM export with palette overlay

@@ -108,6 +108,16 @@ class ViTCAMConfig:
     # no [N, N] x [N, N] matmul in the hot loop).  Same math, different
     # association order.  Inference-only knob.
     rollout_post: bool = False
+    # multi-device serving: name of the mesh axis the batch is sharded over
+    # (e.g. "data").  When set, the Pallas attention kernels are wrapped in
+    # jax.shard_map over that axis so each device runs the kernel on its own
+    # batch shard — XLA's auto-SPMD partitioner otherwise REPLICATES
+    # pallas_call (it all-gathers the operands and every device redoes the
+    # full batch).  The jit must be traced under the mesh context
+    # (`with mesh:`), which supplies shard_map's mesh.  Inference knob; the
+    # sharded entry points (validate/export --data_parallel) set it when
+    # attn_impl == "pallas".
+    data_axis: Optional[str] = None
 
     @property
     def grid_size(self) -> int:

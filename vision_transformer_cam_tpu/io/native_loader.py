@@ -36,9 +36,11 @@ def _build() -> bool:
         os.makedirs(_NATIVE_DIR, exist_ok=True)
         with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
-            if not os.path.exists(_SO_PATH):
-                subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
-                               capture_output=True)
+            # run make unconditionally: its own dependency check makes this
+            # a cheap no-op when up to date, and edits to native/ sources
+            # rebuild instead of silently using a stale .so
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
+                           capture_output=True)
         return True
     except Exception:
         return False

@@ -147,8 +147,14 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
                       pre-quantized, so unlike the measured-slower in-kernel
                       dynamic quantization there is no quantize pass), V is
                       dequantized in-VMEM, and the output is written int8
-                      for the downstream int8 proj GEMM.  Scales arrive as
-                      an SMEM [1,4] tensor (sq, sk, sv, 1/s_out).
+                      for the downstream int8 proj GEMM.  Scales arrive in
+                      SMEM: per-tensor [1, 4] (sq, sk, sv, 1/s_out) or
+                      PER-HEAD [1, 3H+1] (sq_0..sq_{H-1}, sk_*, sv_*,
+                      1/s_out) — per-head scales cost nothing at runtime
+                      (scalar SMEM reads inside the statically-unrolled
+                      head loop) and cut the quantization error of heads
+                      whose q/k/v magnitudes sit far below the per-tensor
+                      absmax (the round-2 CAM-fidelity lever).
     """
     scale, mask_value = kw["scale"], kw["mask_value"]
     h, dh = kw["num_heads"], kw["head_dim"]
@@ -168,9 +174,9 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
         newj_ref = None
         o_ref, cls_ref = rest
         hm_ref = ()
+    per_head_sc = kw.get("per_head_scales", False)
     if int8_io:
-        sq, sk = sc_ref[0, 0], sc_ref[0, 1]
-        sv, inv_out = sc_ref[0, 2], sc_ref[0, 3]
+        inv_out = sc_ref[0, 3 * h if per_head_sc else 3]
     bb, n, _ = qkv_ref.shape
     c = h * dh
     # static query-block ranges (last block may be short) — keeps the live
@@ -195,6 +201,9 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
                 k = qkv_ref[b, :, c + i * dh:c + (i + 1) * dh]
                 v = qkv_ref[b, :, 2 * c + i * dh:2 * c + (i + 1) * dh]
                 if int8_io:
+                    sq = sc_ref[0, i if per_head_sc else 0]
+                    sk = sc_ref[0, (h + i) if per_head_sc else 1]
+                    sv = sc_ref[0, (2 * h + i) if per_head_sc else 2]
                     s32 = jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32)    # int8 MXU path
@@ -272,16 +281,26 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     returns J_l instead of the head-mean matrix.
 
     int8 serving I/O: when qkv is int8 (the requantized qkv-GEMM output),
-    pass `scales` = [sq, sk, sv, 1/s_out] f32; S = QK^T then runs on the
-    int8 MXU path, V dequantizes in-VMEM and `out` is int8 (scale s_out)
-    for the downstream int8 proj GEMM.  cls_row/headmean stay float
-    (float_dtype)."""
+    pass `scales` = [sq, sk, sv, 1/s_out] f32 (per-tensor) or the per-head
+    form [sq_0..sq_{H-1}, sk_0.., sv_0.., 1/s_out] (3H+1 entries); S = QK^T
+    then runs on the int8 MXU path, V dequantizes in-VMEM and `out` is int8
+    (scale s_out) for the downstream int8 proj GEMM.  cls_row/headmean stay
+    float (float_dtype)."""
     b, n, c3 = qkv.shape
     c = c3 // 3
     dh = c // num_heads
     int8_io = qkv.dtype == jnp.int8
-    if int8_io and scales is None:
-        raise ValueError("int8 qkv requires the scales vector")
+    per_head_sc = False
+    if int8_io:
+        if scales is None:
+            raise ValueError("int8 qkv requires the scales vector")
+        scales = jnp.asarray(scales, jnp.float32).reshape(-1)
+        if scales.shape[0] == 3 * num_heads + 1 and num_heads > 1:
+            per_head_sc = True
+        elif scales.shape[0] != 4:
+            raise ValueError(
+                f"scales must have 4 (per-tensor) or {3 * num_heads + 1} "
+                f"(per-head) entries, got {scales.shape[0]}")
     f_dtype = float_dtype if int8_io else qkv.dtype
     if block_b < 1:
         raise ValueError(f"block_b must be >= 1, got {block_b}")
@@ -300,7 +319,8 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
                                clamp_softmax=clamp_softmax,
                                with_rollout=joint is not None,
                                with_headmean=with_headmean,
-                               int8_io=int8_io)
+                               int8_io=int8_io,
+                               per_head_scales=per_head_sc)
     qkv_spec = pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((bb, n, c), lambda i: (i, 0, 0),
@@ -324,9 +344,10 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
         out_shape.append(jax.ShapeDtypeStruct((b, n, n),
                                               hm_dtype or f_dtype))
     if int8_io:
-        in_specs.append(pl.BlockSpec((1, 4), lambda i: (0, 0),
+        n_sc = int(scales.shape[0])
+        in_specs.append(pl.BlockSpec((1, n_sc), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
-        inputs.append(jnp.asarray(scales, jnp.float32).reshape(1, 4))
+        inputs.append(scales.reshape(1, n_sc))
 
     res = pl.pallas_call(
         kernel,
@@ -647,6 +668,28 @@ def _fused_bwd(num_heads, scale, mask_value, clamp_softmax, residuals,
 fused_attention_diff.defvjp(_fused_fwd, _fused_bwd)
 
 
+def sharded_kernel_call(fn, data_axis: str, arg_specs, n_out: int):
+    """Wrap a Pallas-kernel entry in jax.shard_map over the ambient mesh's
+    `data_axis`, so each device runs the kernel on its own batch shard.
+
+    XLA's auto-SPMD partitioner has no partitioning rule for pallas_call:
+    under a plain jit over a sharded batch it REPLICATES the kernel — the
+    operands are all-gathered and every device recomputes the full batch
+    (verified on the 8-device CPU mesh; the output comes back with spec
+    PartitionSpec()).  shard_map makes the batch partitioning explicit.
+    The caller must trace under the mesh context (`with mesh:`), which is
+    what supplies shard_map's mesh.
+
+    arg_specs: per-positional-arg booleans — True = batch-sharded over
+    data_axis, False = replicated (None args pass through either way).
+    """
+    from jax.sharding import PartitionSpec as P
+    in_specs = tuple(P(data_axis) if s else P() for s in arg_specs)
+    out_specs = (P(data_axis),) * n_out
+    return jax.shard_map(fn, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+
+
 def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
                      hm_dtype=None):
     """Drop-in for models.vit._attention_xla (same signature/returns) using
@@ -654,13 +697,29 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
     per-head probability tensors (predict/validate visualization) or
     attention/projection DROPOUT (the fused kernel and its Pallas backward
     — masked_attention_bwd — support training, but not in-kernel dropout
-    masks)."""
+    masks).
+
+    cfg.data_axis: multi-device serving — every masked_attention_fused call
+    goes through shard_map over that mesh axis (see sharded_kernel_call)."""
     needs_dropout = rngs and (cfg.attn_drop_ratio > 0 or cfg.drop_ratio > 0)
     if need_probs == "perhead" or needs_dropout:
         from vision_transformer_cam_tpu.models.vit import _attention_xla
         return _attention_xla(ap, x, bg, cfg, rngs, need_probs)
     from vision_transformer_cam_tpu.models.vit import _linear
     b, n, c = x.shape
+
+    def call_fused(qkv_a, bg_a, joint_a, scales_a, **static):
+        if cfg.data_axis is None:
+            return masked_attention_fused(qkv_a, bg_a, joint_a, scales_a,
+                                          **static)
+        n_out = 3 if (joint_a is not None
+                      or static.get("with_headmean")) else 2
+        fn = functools.partial(masked_attention_fused, **static)
+        # qkv/bg/joint are batch-sharded; the int8 scales vector is
+        # replicated
+        return sharded_kernel_call(fn, cfg.data_axis,
+                                   (True, True, True, False), n_out)(
+            qkv_a, bg_a, joint_a, scales_a)
     # int8 attention I/O (serving): the qkv GEMM requantizes its output to
     # int8 in the epilogue, S = QK^T runs on the int8 MXU path in-kernel,
     # and the kernel's int8 output feeds the int8 proj GEMM directly —
@@ -673,9 +732,20 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
     if int8_io:
         from vision_transformer_cam_tpu.ops.quant import qlinear_requant
         osc = ap["qkv"]["out_scales"]
-        qkv = qlinear_requant(x, ap["qkv"], osc)
-        scales = jnp.stack([osc[0], osc[1], osc[2],
-                            1.0 / ap["proj"]["act_scale"]])
+        if osc.ndim == 2:
+            # per-head [3, H] calibration (the default): requantize each
+            # head's dh-wide column group with its own scale, and hand the
+            # kernel the flat [3H+1] per-head scales vector
+            flat = osc.reshape(-1)
+            qkv = qlinear_requant(x, ap["qkv"], flat,
+                                  groups=3 * cfg.num_heads)
+            scales = jnp.concatenate(
+                [flat, 1.0 / ap["proj"]["act_scale"].reshape(1)])
+        else:
+            # legacy per-tensor (q|k|v thirds) calibration
+            qkv = qlinear_requant(x, ap["qkv"], osc)
+            scales = jnp.stack([osc[0], osc[1], osc[2],
+                                1.0 / ap["proj"]["act_scale"]])
     else:
         qkv = _linear(x, ap["qkv"], cfg)
     newj = None
@@ -686,7 +756,7 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
     bb = cfg.attn_block_b or (2 if int8_io and n <= 256 else 1)
     if joint is not None:
         # in-kernel rollout update: headmean never leaves VMEM
-        out, cls_row, newj = masked_attention_fused(
+        out, cls_row, newj = call_fused(
             qkv, bg, joint, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
             float_dtype=cfg.dtype, block_b=bb,
@@ -694,15 +764,24 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
         hm = None
     elif need_probs == "headmean":
         # visualization / post-scan-rollout path: emit the head-mean matrix
-        out, cls_row, hm = masked_attention_fused(
+        out, cls_row, hm = call_fused(
             qkv, bg, None, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, with_headmean=True,
             clamp_softmax=cfg.softmax_clamp, hm_dtype=hm_dtype,
             float_dtype=cfg.dtype, block_b=bb,
             interpret=jax.default_backend() != "tpu")
     elif int8_io:
-        out, cls_row = masked_attention_fused(
+        out, cls_row = call_fused(
             qkv, bg, None, scales, num_heads=cfg.num_heads, scale=cfg.scale,
+            mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
+            float_dtype=cfg.dtype, block_b=bb,
+            interpret=jax.default_backend() != "tpu")
+        hm = None
+    elif cfg.data_axis is not None and rngs is None:
+        # sharded inference without int8/rollout: the shard_mapped kernel
+        # (the custom_vjp wrapper is training-only and would replicate)
+        out, cls_row = call_fused(
+            qkv, bg, None, None, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
             float_dtype=cfg.dtype, block_b=bb,
             interpret=jax.default_backend() != "tpu")

@@ -377,17 +377,26 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                             and "kernel" in params["blocks"]["attn"]["qkv"])
         if use_block_kernel:
             from vision_transformer_cam_tpu.kernels.attention import (
-                attention_block_fused)
-            res = attention_block_fused(
+                attention_block_fused, sharded_kernel_call)
+            blk_fn = functools.partial(
+                attention_block_fused,
+                num_heads=cfg.num_heads, scale=cfg.scale,
+                mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
+                interpret=jax.default_backend() != "tpu")
+            if cfg.data_axis is not None:
+                # batch-sharded activations, replicated weights (see
+                # kernels.attention.sharded_kernel_call)
+                blk_fn = sharded_kernel_call(
+                    blk_fn, cfg.data_axis,
+                    (True, True, False, False, False, False, True, True),
+                    3 if fuse_rollout else 2)
+            res = blk_fn(
                 xn, tok, lp["attn"]["qkv"]["kernel"],
                 lp["attn"]["qkv"].get(
                     "bias", jnp.zeros((3 * cfg.embed_dim,), cfg.dtype)),
                 lp["attn"]["proj"]["kernel"],
                 lp["attn"]["proj"]["bias"], bg,
-                joint if fuse_rollout else None,
-                num_heads=cfg.num_heads, scale=cfg.scale,
-                mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
-                interpret=jax.default_backend() != "tpu")
+                joint if fuse_rollout else None)
             tok, cls_row = res[0], res[1].astype(cfg.dtype)
             newj = res[2] if fuse_rollout else None
             hm = ph = None
@@ -424,8 +433,8 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             ymlp = mlp_fused(yn, f1["kernel"], f1["bias"], f2["kernel"],
                              f2["bias"], gelu_approx=cfg.gelu_approx,
                              interpret=jax.default_backend() != "tpu")
-        elif "kernel_q" in f1 and "act_scale" in f1 and "act_scale" in f2 \
-                and not use_rng:
+        elif all(k in p for p in (f1, f2)
+                 for k in ("kernel_q", "act_scale")) and not train:
             # int8 serving with static scales: fc1's epilogue emits the
             # GELU'd hidden tensor already requantized to int8 (fc2's
             # act_scale), so the [B, N, 4C] intermediate — the model's

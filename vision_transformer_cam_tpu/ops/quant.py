@@ -40,7 +40,15 @@ def qlinear(x, qp, bias=None, out_dtype=jnp.bfloat16):
     """
     if x.dtype == jnp.int8:
         # input already quantized upstream (e.g. the attention kernel's
-        # int8 output); act_scale IS its scale by construction
+        # int8 output); act_scale IS its scale by construction — the
+        # upstream producer requantized to exactly this layer's static
+        # scale.  A dynamically-quantized layer can never legally receive
+        # an int8 input, so make the invariant self-documenting:
+        if "act_scale" not in qp:
+            raise ValueError(
+                "int8 input to qlinear requires a static act_scale on the "
+                "consuming layer (the producer must requantize to it); a "
+                "dynamically-quantized layer cannot accept int8 inputs")
         xq, sx = x, qp["act_scale"]
     elif "act_scale" in qp:
         sx = qp["act_scale"]
@@ -67,8 +75,11 @@ def qlinear_requant(x, qp, out_scales, groups: int = 3):
     epilogue: y_i8 = round((acc*cs + b) / s_out) — no bf16 materialization
     between the qkv GEMM and the attention kernel.
 
-    out_scales: [groups] f32, one scale per contiguous output group (q|k|v
-    thirds of the qkv projection).  Bias is applied before requantization.
+    out_scales: [groups] f32, one scale per contiguous output group —
+    groups=3 for q|k|v thirds (legacy per-tensor), groups=3*H for the
+    per-head calibration (each head's dh-wide slice gets its own scale,
+    order sq_0..sq_{H-1}, sk_*, sv_* matching the [q|k|v][head] qkv
+    layout).  Bias is applied before requantization.
     """
     n_out = qp["kernel_q"].shape[-1]
     y = qlinear(x, qp, qp.get("bias"), out_dtype=jnp.float32)
@@ -166,9 +177,14 @@ def calibrate_act_scales(params, cfg, images, margin: float = 1.0):
         qkv_out = jnp.dot(xn, lp["attn"]["qkv"]["kernel"],
                           preferred_element_type=cfg.dtype) \
             + lp["attn"]["qkv"].get("bias", 0.0)
-        qkv_out_amax.append([_absmax(qkv_out[..., :c]),
-                             _absmax(qkv_out[..., c:2 * c]),
-                             _absmax(qkv_out[..., 2 * c:])])
+        # PER-HEAD (q, k, v) output absmax [3, H]: heads whose magnitudes
+        # sit far below the per-tensor absmax would otherwise waste int8
+        # range — the dominant term of the int8-attn-I/O CAM deviation
+        # (round-2 verdict next #1)
+        qh = jnp.abs(qkv_out.reshape(
+            qkv_out.shape[0], qkv_out.shape[1], 3, cfg.num_heads,
+            cfg.head_dim).astype(jnp.float32))
+        qkv_out_amax.append(jnp.max(qh, axis=(0, 1, 4)))
         o, cls_row, _, _, _ = m._attention_xla(lp["attn"], xn, bg, cfg,
                                                None, None)
         # proj input absmax: recompute the pre-proj tensor
@@ -193,8 +209,9 @@ def calibrate_act_scales(params, cfg, images, margin: float = 1.0):
     out = {"patch_embed": to_scale(s_patch),
            "blocks": {k: jnp.asarray([to_scale(v) for v in sc[k]],
                                      jnp.float32) for k in sc}}
-    out["blocks"]["qkv_out"] = jnp.asarray(
-        [[to_scale(v) for v in row] for row in qkv_out_amax], jnp.float32)
+    # [depth, 3, H] per-head (q, k, v) output scales
+    out["blocks"]["qkv_out"] = (jnp.stack(qkv_out_amax)
+                                * (margin / 127.0)).astype(jnp.float32)
     return out
 
 

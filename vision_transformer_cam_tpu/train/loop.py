@@ -90,21 +90,35 @@ def evaluate(params, loader, cfg, mesh):
     Multi-host: each process feeds its stripe of the val split (fit() builds
     the val loader with process striping), per-host rows are gathered with
     process_allgather before the host-side AP computation — so every process
-    returns the same global mAP."""
+    returns the same global mAP.  Rows the loader padded by wrapping (the
+    DistributedSampler recipe) are dropped before accumulation, so every
+    val sample is counted exactly once — the reference's DistributedSampler
+    double-counts up to world_size-1 samples (utils.py:206-245 semantics
+    without the wrap bias)."""
     sharding = meshlib.data_sharding(mesh)
-    labels, p_cls, p_h1 = [], [], []
+    labels, p_cls, p_h1, keeps = [], [], [], []
     for batch in device_prefetch(loader, sharding):
         out = eval_step(params, batch["image"], cfg)
         labels.append(_host_rows(batch["label"]))
         p_cls.append(_host_rows(out["probs_cls"]))
         p_h1.append(_host_rows(out["probs_head1"]))
-    y, pc, ph = (np.concatenate(v) for v in (labels, p_cls, p_h1))
+        keeps.append(~np.asarray(batch["is_pad"]) if "is_pad" in batch
+                     else np.ones(len(labels[-1]), bool))
+    y, pc, ph, keep = (np.concatenate(v)
+                       for v in (labels, p_cls, p_h1, keeps))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
-        y, pc, ph = (multihost_utils.process_allgather(v, tiled=True)
-                     for v in (y, pc, ph))
+        # gather BEFORE dropping pad rows: per-host stripes are equal length
+        # only unfiltered (allgather needs identical shapes); the keep mask
+        # travels alongside and the filter applies globally after
+        y, pc, ph, keep = (multihost_utils.process_allgather(v, tiled=True)
+                           for v in (y, pc, ph, keep))
+    y, pc, ph = y[keep], pc[keep], ph[keep]
     return {"mAP_196patch": float(np.mean(compute_mAP(y, pc))),
-            "mAP_16patch": float(np.mean(compute_mAP(y, ph)))}
+            "mAP_16patch": float(np.mean(compute_mAP(y, ph))),
+            # rows actually counted after pad-dedup — equals the dataset
+            # size when drop_last=False (asserted in test_multihost)
+            "n_samples": int(len(y))}
 
 
 def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,

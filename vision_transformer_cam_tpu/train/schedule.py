@@ -24,12 +24,22 @@ def scaled_base_lr(cfg: OptimConfig, global_batch_size: int) -> float:
 
 def timm_cosine_schedule(cfg: OptimConfig, base_lr: float,
                          steps_per_epoch: int):
-    """timm CosineLRScheduler(t_in_epochs=True) semantics:
+    """timm CosineLRScheduler(t_in_epochs=True) EXACT semantics, as built by
+    `create_scheduler` for the reference args (train_and_validate.py:150-151,
+    :214-251): warmup_prefix=False (the timm default), cycle_mul=1,
+    cycle_limit=1, decay_rate entering only for cycles >= 1 (never reached).
 
-      epoch <  warmup:                 warmup_lr + epoch/warmup * (lr - warmup_lr)
-      warmup <= epoch < epochs:        min_lr + (lr-min_lr)/2 * (1+cos(pi*u)),
-                                       u = (epoch - warmup) / (epochs - warmup)
-      epoch >= epochs (cooldown):      min_lr
+      epoch <  warmup:            warmup_lr + epoch/warmup * (lr - warmup_lr)
+      warmup <= epoch < epochs:   min_lr + (lr-min_lr)/2 * (1+cos(pi*u)),
+                                  u = epoch / epochs
+                                  (warmup_prefix=False: the cosine phase runs
+                                  over the FULL t_initial INCLUDING the warmup
+                                  epochs — at epoch 5/100 the LR is already
+                                  ~0.6% below base and the gap persists)
+      epoch >= epochs (cooldown): min_lr   (cycle index >= cycle_limit)
+
+    Pinned against a vendored timm-formula golden curve in
+    tests/test_train.py::test_schedule_timm_curve.
     """
     warm, total = float(cfg.warmup_epochs), float(cfg.epochs)
 
@@ -37,7 +47,7 @@ def timm_cosine_schedule(cfg: OptimConfig, base_lr: float,
         epoch = jnp.floor(step / steps_per_epoch)
         warm_lr = cfg.warmup_lr + epoch / jnp.maximum(warm, 1.0) \
             * (base_lr - cfg.warmup_lr)
-        u = jnp.clip((epoch - warm) / jnp.maximum(total - warm, 1.0), 0.0, 1.0)
+        u = jnp.clip(epoch / jnp.maximum(total, 1.0), 0.0, 1.0)
         cos_lr = cfg.min_lr + 0.5 * (base_lr - cfg.min_lr) \
             * (1.0 + jnp.cos(jnp.pi * u))
         return jnp.where(epoch < warm, warm_lr, cos_lr)
