@@ -107,9 +107,23 @@ def build_cfg(argv, model=None):
         cfg = cfg.replace(int8_fused_gemm=True)
     if "--rollout-post" in argv:
         cfg = cfg.replace(rollout_post=True)
-    use_int8 = ("--int8" in argv
+    if "--ln-quant" in argv:
+        # fused LN -> int8 quantize pass (kernels/gemm.ln_quant)
+        cfg = cfg.replace(ln_quant_fusion=True)
+    if "--block-b" in argv:
+        # images per attention-kernel program (0 = auto)
+        cfg = cfg.replace(
+            attn_block_b=int(argv[argv.index("--block-b") + 1]))
+    if "--q-block" in argv:
+        # query rows per attention-kernel block (0 = auto)
+        cfg = cfg.replace(
+            attn_q_block=int(argv[argv.index("--q-block") + 1]))
+    use_int8 = ("--int8" in argv or "--int8-hifi" in argv
                 or not ("--bf16" in argv or "--f32" in argv))
-    if use_int8 and "--no-int8-attn" not in argv:
+    # --int8-hifi == serving mode "int8_hifi": W8A8 GEMMs, float attention
+    # core (same graph as --no-int8-attn; named for the serving API)
+    hifi = "--int8-hifi" in argv or "--no-int8-attn" in argv
+    if use_int8 and not hifi:
         cfg = cfg.replace(int8_attn_io=True)
     if "--int8-attn" in argv:
         cfg = cfg.replace(int8_attn_io=True)

@@ -7,6 +7,11 @@ BENCHMARKS.md ("In-model device profile") was measured; standalone
 microbenchmarks over-estimate stages that XLA fuses or overlaps in-model.
 
   python scripts/profile_serving.py [--batch N] [--trace-dir DIR]
+                                    [--train] [--model NAME] [--ln-quant]
+
+--train profiles the fine-tune step (bf16 + Pallas fwd/bwd kernels + remat,
+the bench.py --train config) instead of the int8 serving forward — the
+ground truth for the training-floor statement in BENCHMARKS.md.
 """
 
 from __future__ import annotations
@@ -35,26 +40,64 @@ def main():
     from vision_transformer_cam_tpu.ops import rollout
     from vision_transformer_cam_tpu.utils import profiling
 
-    cfg = configs.vit_base_patch16_224_in21k(num_classes=20)
+    model = sys.argv[sys.argv.index("--model") + 1] \
+        if "--model" in sys.argv else "vit_base_patch16_224_in21k"
+    cfg = configs.MODEL_ZOO[model](num_classes=20)
     cfg = cfg.replace(representation_size=None)
     params = vit.init(cfg, jax.random.key(0))
-    calib = jax.random.normal(jax.random.key(7), (8, 224, 224, 3),
+
+    if "--train" in sys.argv:
+        # the bench.py --train config: bf16, Pallas fwd+bwd kernels, remat
+        from vision_transformer_cam_tpu.train.state import (
+            create_train_state, make_optimizer)
+        from vision_transformer_cam_tpu.train.step import train_step
+        if "--batch" not in sys.argv:
+            batch = 256
+        tcfg = cfg.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                           attn_impl="pallas")
+        tx, _ = make_optimizer(configs.OptimConfig(),
+                               global_batch_size=batch, steps_per_epoch=100)
+        state = create_train_state(vit.init(tcfg, jax.random.key(0)), tx)
+        images = jax.random.normal(jax.random.key(1),
+                                   (batch, cfg.img_size, cfg.img_size, 3),
+                                   jnp.float32)
+        labels = (jax.random.uniform(jax.random.key(2), (batch, 20)) < 0.15
+                  ).astype(jnp.float32)
+        rng = jax.random.key(3)
+
+        def run_step(st):
+            return train_step(st, images, labels, rng, tcfg, tx)
+
+        state, m = run_step(state)
+        _ = float(m["loss"])          # compile + warm
+        n_iters = 3
+        with profiling.trace(trace_dir):
+            for _ in range(n_iters):
+                state, m = run_step(state)
+            _ = float(m["loss"])
+    else:
+        calib = jax.random.normal(jax.random.key(7),
+                                  (8, cfg.img_size, cfg.img_size, 3),
+                                  jnp.float32)
+        params, cfg = serving.apply_serving_mode(params, cfg, "int8", calib)
+        if "--ln-quant" in sys.argv:
+            cfg = cfg.replace(ln_quant_fusion=True)
+
+        @jax.jit
+        def f(params, images):
+            out = vit.forward(params, images, cfg, need_rollout=True)
+            return rollout.cam_from_rollout_row(out.rollout_row,
+                                                cfg.grid_size)
+
+        x = jax.random.normal(jax.random.key(1),
+                              (batch, cfg.img_size, cfg.img_size, 3),
                               jnp.float32)
-    params, cfg = serving.apply_serving_mode(params, cfg, "int8", calib)
-
-    @jax.jit
-    def f(params, images):
-        out = vit.forward(params, images, cfg, need_rollout=True)
-        return rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
-
-    x = jax.random.normal(jax.random.key(1), (batch, 224, 224, 3),
-                          jnp.float32)
-    float(jnp.sum(f(params, x)[:1]))  # compile + warm (sync via d2h read)
-    n_iters = 3
-    with profiling.trace(trace_dir):
-        for _ in range(n_iters):
-            r = f(params, x)
-        float(jnp.sum(r[:1]))
+        float(jnp.sum(f(params, x)[:1]))  # compile + warm (d2h sync)
+        n_iters = 3
+        with profiling.trace(trace_dir):
+            for _ in range(n_iters):
+                r = f(params, x)
+            float(jnp.sum(r[:1]))
 
     traces = sorted(glob.glob(os.path.join(trace_dir, "plugins", "profile",
                                            "*", "*.trace.json.gz")))
@@ -69,10 +112,13 @@ def main():
     for e in data["traceEvents"]:
         if e.get("ph") == "X" and e["pid"] in dev:
             dur[e.get("name", "?")] += e.get("dur", 0)
+    top = int(sys.argv[sys.argv.index("--top") + 1]) \
+        if "--top" in sys.argv else 20
     print(f"device-op totals over {n_iters} batches of {batch} "
           f"(divide by {n_iters} for per-batch):")
-    for name, d in dur.most_common(20):
+    for name, d in dur.most_common(top):
         print(f"  {d / 1e3:9.2f} ms  {name}")
+    print(f"  {sum(dur.values()) / 1e3:9.2f} ms  TOTAL device time")
 
 
 if __name__ == "__main__":

@@ -39,12 +39,19 @@ CLASS_COLOR = _rng.uniform(-1.8, 1.8, size=(NUM_CLASSES, 3))
 CLASS_FREQ = _rng.randint(2, 6, size=NUM_CLASSES)
 
 
-def make_batch(seed: int, n: int, img: int = 224):
+def make_batch(seed: int, n: int, img: int = 224, with_seg: bool = False):
     """n images with 1-3 of 20 classes each; a present class contributes a
-    56x56 textured square at a random location over a noise background."""
+    56x56 textured square at a random location over a noise background.
+
+    with_seg: also return the ground-truth segmentation masks [n, img, img]
+    uint8 (0 = background, c+1 = class c — the VOC label convention), known
+    exactly from the generated square locations.  This is what lets the
+    synthetic substitute score the END artifact of validate.py:248-285
+    (pseudo-seg mIoU) per serving mode."""
     r = np.random.RandomState(seed)
     images = r.normal(0.0, 0.25, size=(n, img, img, 3)).astype(np.float32)
     labels = np.zeros((n, NUM_CLASSES), np.float32)
+    segs = np.zeros((n, img, img), np.uint8) if with_seg else None
     yy, xx = np.mgrid[0:56, 0:56]
     for i in range(n):
         for c in r.choice(NUM_CLASSES, size=r.randint(1, 4), replace=False):
@@ -54,6 +61,10 @@ def make_batch(seed: int, n: int, img: int = 224):
             tex = np.sin((xx + yy) * (np.pi / CLASS_FREQ[c]))[..., None]
             patch = CLASS_COLOR[c][None, None, :] * (0.75 + 0.25 * tex)
             images[i, y0:y0 + 56, x0:x0 + 56] += patch.astype(np.float32)
+            if with_seg:
+                segs[i, y0:y0 + 56, x0:x0 + 56] = c + 1
+    if with_seg:
+        return jnp.asarray(images), jnp.asarray(labels), segs
     return jnp.asarray(images), jnp.asarray(labels)
 
 
@@ -85,27 +96,59 @@ def finetune(steps: int, batch: int):
     return jax.device_get(state.params)
 
 
-def eval_mode(name, params, cfg, images, labels, truth=None):
+def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None):
+    from vision_transformer_cam_tpu.cam.pseudo_seg import pseudo_seg_batch
+    from vision_transformer_cam_tpu.utils.metrics import ConfusionMatrix
+
     @jax.jit
     def fwd(p, x):
         out = vit.forward(p, x, cfg, need_rollout=True)
         cam = rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
-        return (out.logits, out.head1_logits, cam, out.top_patch_idx)
+        return out, cam
 
-    logits, h1, cam, topi = jax.device_get(fwd(params, images))
+    out, cam = fwd(params, images)
+    logits, h1, topi = jax.device_get((out.logits, out.head1_logits,
+                                       out.top_patch_idx))
+    cam = np.asarray(jax.device_get(cam))
     lab = np.asarray(labels)
     m196 = compute_mAP(lab, 1 / (1 + np.exp(-logits.astype(np.float32))))
     m16 = compute_mAP(lab, 1 / (1 + np.exp(-h1.astype(np.float32))))
     row = {"mode": name, "mAP_196patch": float(np.mean(m196)),
            "mAP_16patch": float(np.mean(m16)),
            "cam": cam.astype(np.float32), "topi": topi}
+    if seg_gt is not None:
+        # the END artifact (validate.py:248-285): full pseudo-seg pipeline,
+        # scored as mIoU vs the known synthetic square masks (filler ids
+        # > num_classes fold to background, as cli/validate.py scores it)
+        pcfg = configs.PseudoSegConfig()
+        preds = pseudo_seg_batch(out, cfg, pcfg,
+                                 [seg_gt.shape[1:]] * seg_gt.shape[0])
+        preds = np.stack(preds).astype(np.int64)
+        preds[preds > NUM_CLASSES] = 0
+        cm = ConfusionMatrix(NUM_CLASSES)
+        cm.update(seg_gt.reshape(-1).astype(np.int64), preds.reshape(-1))
+        _, _, iou = cm.compute()
+        row["miou"] = float(np.nanmean(np.asarray(iou)) * 100)
+        row["seg"] = preds
     if truth is not None:
         dev = np.abs(row["cam"] - truth["cam"])
         row["cam_max_dev"] = float(dev.max())
         row["cam_mean_dev"] = float(dev.mean())
+        # max dev is a TAIL metric: one fg/bg mask-threshold tie flip in an
+        # early layer cascades into a large localized CAM change (even the
+        # bf16 path shows ~0.3 on sharply-trained models) while the bulk of
+        # the map is untouched.  p99.9 + the >1% fraction characterize the
+        # body of the distribution.
+        row["cam_p999"] = float(np.quantile(dev, 0.999))
+        row["cam_frac_gt_1pct"] = float((dev > 0.01).mean())
         inter = [len(set(a.tolist()) & set(b.tolist())) / len(a)
                  for a, b in zip(topi, truth["topi"])]
         row["top16_overlap"] = float(np.mean(inter))
+        if seg_gt is not None and "seg" in truth:
+            # pixel agreement of this mode's pseudo-seg PNGs with the f32
+            # path's — the artifact-level fidelity the top-16 overlap
+            # only proxies
+            row["seg_match"] = float((row["seg"] == truth["seg"]).mean())
     return row
 
 
@@ -120,7 +163,7 @@ def main():
 
     print(f"fine-tuning {steps} steps @ batch {batch} on synthetic data")
     params = finetune(steps, batch)
-    images, labels = make_batch(9999, n_eval)
+    images, labels, seg_gt = make_batch(9999, n_eval, with_seg=True)
 
     base = configs.vit_base_patch16_224_in21k(num_classes=NUM_CLASSES,
                                               has_logits=False)
@@ -128,7 +171,8 @@ def main():
 
     f32 = base.replace(dtype=jnp.float32, param_dtype=jnp.float32)
     p32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
-    truth = eval_mode("f32 exact (truth)", p32, f32, images, labels)
+    truth = eval_mode("f32 exact (truth)", p32, f32, images, labels,
+                      seg_gt=seg_gt)
 
     bf = base.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                       attn_impl="pallas", gelu_approx=True,
@@ -136,26 +180,42 @@ def main():
     pbf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     rows = [truth,
             eval_mode("bf16+pallas+tanh+clamp (serving)", pbf, bf, images,
-                      labels, truth)]
+                      labels, truth, seg_gt)]
 
     from vision_transformer_cam_tpu.ops.quant import (calibrate_act_scales,
                                                       quantize_params)
     calib, _ = make_batch(777, 16)
     scales = calibrate_act_scales(pbf, bf, calib)
     pq = quantize_params(pbf, act_scales=scales)
-    rows.append(eval_mode("int8 W8A8 static (serving)", pq, bf, images,
-                          labels, truth))
-    rows.append(eval_mode("int8 + attn I/O (bench default)", pq,
+    rows.append(eval_mode("int8_hifi (W8A8, float attention)", pq, bf,
+                          images, labels, truth, seg_gt))
+    rows.append(eval_mode("int8 + attn I/O per-head (default)", pq,
                           bf.replace(int8_attn_io=True), images, labels,
-                          truth))
+                          truth, seg_gt))
+    # the round-2 per-tensor (q|k|v thirds) scales, for the ablation record
+    import copy
+    pq_t = copy.copy(pq)
+    pq_t["blocks"] = copy.copy(pq["blocks"])
+    pq_t["blocks"]["attn"] = copy.copy(pq["blocks"]["attn"])
+    pq_t["blocks"]["attn"]["qkv"] = dict(
+        pq["blocks"]["attn"]["qkv"],
+        out_scales=jnp.max(pq["blocks"]["attn"]["qkv"]["out_scales"],
+                           axis=2))
+    rows.append(eval_mode("int8 + attn I/O per-tensor (r2)", pq_t,
+                          bf.replace(int8_attn_io=True), images, labels,
+                          truth, seg_gt))
 
-    print(f"\n{'mode':38s} {'mAP_196':>8s} {'mAP_16':>8s} "
-          f"{'camMaxD':>8s} {'camMeanD':>9s} {'top16ovl':>8s}")
+    print(f"\n{'mode':36s} {'mAP_196':>8s} {'mAP_16':>8s} {'mIoU':>6s} "
+          f"{'camMaxD':>8s} {'camP99.9':>8s} {'cam>1%':>7s} "
+          f"{'camMeanD':>9s} {'top16ovl':>8s} {'segMatch':>8s}")
     for r in rows:
-        extra = (f" {r['cam_max_dev']:8.5f} {r['cam_mean_dev']:9.6f} "
+        miou = f" {r['miou']:6.2f}" if "miou" in r else "       "
+        extra = (f" {r['cam_max_dev']:8.5f} {r['cam_p999']:8.5f} "
+                 f"{r['cam_frac_gt_1pct']:7.4f} {r['cam_mean_dev']:9.6f} "
                  f"{r['top16_overlap']:8.3f}") if "cam_max_dev" in r else ""
-        print(f"{r['mode']:38s} {r['mAP_196patch']:8.4f} "
-              f"{r['mAP_16patch']:8.4f}{extra}")
+        match = f" {r['seg_match']:8.4f}" if "seg_match" in r else ""
+        print(f"{r['mode']:36s} {r['mAP_196patch']:8.4f} "
+              f"{r['mAP_16patch']:8.4f}{miou}{extra}{match}")
 
 
 if __name__ == "__main__":

@@ -94,8 +94,8 @@ def test_distributed_helpers():
     def body(v):
         return parallel.reduce_value(v, average=True)
 
-    from jax.experimental.shard_map import shard_map
-    out = shard_map(body, mesh=mesh, in_specs=P("data"), out_specs=P())(x)
+    out = jax.shard_map(body, mesh=mesh, in_specs=P("data"),
+                        out_specs=P())(x)
     assert float(out[0]) == pytest.approx(np.arange(8).mean())
 
 

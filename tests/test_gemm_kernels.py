@@ -104,3 +104,48 @@ def test_model_int8_fused_matches_xla_int8():
                                np.asarray(base.logits), atol=1e-4)
     np.testing.assert_allclose(np.asarray(fused.rollout_row),
                                np.asarray(base.rollout_row), atol=1e-5)
+
+
+def test_ln_quant_matches_layernorm_then_quantize():
+    """kernels/gemm.ln_quant == _layer_norm (f32) followed by the static
+    quantize, bit-exact in interpret mode."""
+    from vision_transformer_cam_tpu.kernels.gemm import ln_quant
+    from vision_transformer_cam_tpu.models.vit import _layer_norm
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((3, 41, C)) * 2.0, jnp.float32)
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    b = jnp.asarray(0.05 * rng.standard_normal(C), jnp.float32)
+    a = 0.037
+    got = ln_quant(x, g, b, eps=1e-6, inv_a=1.0 / a, block_m=32,
+                   interpret=True)
+    assert got.dtype == jnp.int8
+    y = _layer_norm(x, g, b, 1e-6)
+    ref = jnp.clip(jnp.round(y / a), -127, 127).astype(jnp.int8)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_model_ln_quant_fusion_matches_unfused_int8():
+    """Full int8-attn-I/O serving model with ln_quant_fusion: same numbers
+    as the unfused int8 path (both quantize LN output with the same static
+    scale; only the materialization changes — the bf16 LN math runs in f32
+    inside the kernel, so allow quantum-level drift)."""
+    params = vit.init(TINY, jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (2, 32, 32, 3), jnp.float32)
+    scales = calibrate_act_scales(params, TINY, x)
+    qp = quantize_params(params, act_scales=scales)
+    cfg = TINY.replace(attn_impl="pallas", int8_attn_io=True)
+    base = vit.forward(qp, x, cfg, need_rollout=True)
+    fused = vit.forward(qp, x, cfg.replace(ln_quant_fusion=True),
+                        need_rollout=True)
+    a = np.asarray(base.logits).ravel()
+    g = np.asarray(fused.logits).ravel()
+    cos = (a @ g) / (np.linalg.norm(a) * np.linalg.norm(g))
+    assert cos > 0.999
+    np.testing.assert_allclose(np.asarray(fused.rollout_row),
+                               np.asarray(base.rollout_row), atol=2e-2)
+    # training / float params: the knob must be a no-op, not a crash
+    plain = vit.forward(params, x, TINY.replace(ln_quant_fusion=True))
+    np.testing.assert_allclose(np.asarray(plain.logits),
+                               np.asarray(vit.forward(params, x,
+                                                      TINY).logits),
+                               atol=1e-6)

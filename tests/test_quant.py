@@ -253,7 +253,7 @@ def test_apply_serving_mode():
     with pytest.raises(ValueError, match="serving mode"):
         serving.apply_serving_mode(params, TINY, "fp8")
 
-    for mode in ("bf16", "int8"):
+    for mode in ("bf16", "int8", "int8_hifi"):
         p, c = serving.apply_serving_mode(params, TINY, mode,
                                           calib_images=calib)
         assert c.dtype == jnp.bfloat16
@@ -261,8 +261,9 @@ def test_apply_serving_mode():
         # interpret-mode pallas would be a silent orders-of-magnitude trap)
         assert c.attn_impl == ("pallas" if jax.default_backend() == "tpu"
                                else "xla")
+        # int8_hifi: W8A8 GEMMs but the attention core stays float
         assert c.int8_attn_io == (mode == "int8")
-        if mode == "int8":
+        if mode.startswith("int8"):
             assert "kernel_q" in p["blocks"]["mlp"]["fc1"]
             assert "act_scale" in p["blocks"]["mlp"]["fc1"]
         got = vit.apply(p, x, c)
@@ -284,12 +285,14 @@ def test_bench_default_matches_serving_api():
     import bench
     from vision_transformer_cam_tpu import serving
 
-    bench_cfg, use_int8 = bench.build_cfg(["bench.py"])
-    assert use_int8
-    api_cfg = serving.serving_config(
-        configs.vit_base_patch16_224_in21k(num_classes=20).replace(
-            representation_size=None), "int8")
-    bench_d = dict(vars(bench_cfg))
-    api_d = dict(vars(api_cfg))
-    bench_d.pop("attn_impl"), api_d.pop("attn_impl")
-    assert bench_d == api_d
+    base = configs.vit_base_patch16_224_in21k(num_classes=20).replace(
+        representation_size=None)
+    for flags, mode in ((["bench.py"], "int8"),
+                        (["bench.py", "--int8-hifi"], "int8_hifi")):
+        bench_cfg, use_int8 = bench.build_cfg(flags)
+        assert use_int8
+        api_cfg = serving.serving_config(base, mode)
+        bench_d = dict(vars(bench_cfg))
+        api_d = dict(vars(api_cfg))
+        bench_d.pop("attn_impl"), api_d.pop("attn_impl")
+        assert bench_d == api_d, mode

@@ -92,7 +92,7 @@ def build_fn(args):
         params = vit.init(cfg, jax.random.key(0))
     calib = None
     calib_provenance = None
-    if args.serving == "int8":
+    if args.serving.startswith("int8"):
         if args.calib_npy:
             calib = np.load(args.calib_npy)
             calib_provenance = args.calib_npy

@@ -67,13 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "fallback when the .so is unavailable).  Pixels "
                         "match PIL within ~2 uint8 quanta — the default "
                         "PIL path is the exact reference-parity pipeline")
+    from vision_transformer_cam_tpu import serving as _serving
     p.add_argument("--serving", type=str, default="off",
-                   choices=["off", "bf16", "int8"],
-                   help="fast serving config: off = reference-parity f32; "
-                        "bf16 = bf16 + tanh GELU + clamp softmax; int8 adds "
-                        "W8A8 GEMMs + int8 attention I/O, calibrated on the "
-                        "first images of the split (quality deltas: "
-                        "BENCHMARKS.md — <= 0.001 mAP)")
+                   choices=list(_serving.SERVING_MODES),
+                   help="fast serving config (int8 modes calibrate on the "
+                        "first images of the split; quality deltas in "
+                        "BENCHMARKS.md — <= 0.001 mAP): "
+                        + _serving.serving_mode_help())
     return p
 
 
@@ -112,7 +112,7 @@ def val(args) -> dict:
     if args.serving != "off":
         from vision_transformer_cam_tpu import serving
         calib = None
-        if args.serving == "int8":
+        if args.serving.startswith("int8"):
             # calibrate through the SAME pixel pipeline that will serve
             # (native vs PIL differ by up to ~2 uint8 quanta)
             calib_loader = BatchLoader(ds, min(8, len(ds)), shuffle=False,

@@ -99,6 +99,11 @@ class ViTCAMConfig:
     # 4.38 vs 4.58 ms/layer with rollout), 1 otherwise (bf16 measured
     # slower at block_b>1: 3279 vs 3365 img/s end-to-end).
     attn_block_b: int = 0
+    # query rows per attention-kernel block.  0 = auto: min(N, 512), except
+    # 256 for int8 at N > 512 (the extra int32 S buffer pushes QB=512 over
+    # the 16 MB scoped-VMEM limit at ViT-L@384's N=577).  Tuning knob for
+    # long-sequence shapes.
+    attn_q_block: int = 0
     # serving: compute the rollout CAM as a post-scan reversed vector chain
     # over the stacked per-layer head-mean matrices instead of carrying the
     # [B, N, N] joint product through the scan.  The final CAM is ROW 0 of
@@ -108,6 +113,12 @@ class ViTCAMConfig:
     # no [N, N] x [N, N] matmul in the hot loop).  Same math, different
     # association order.  Inference-only knob.
     rollout_post: bool = False
+    # serving: fuse each LayerNorm with the downstream GEMM's static int8
+    # activation quantize into ONE Pallas pass (kernels/gemm.ln_quant) —
+    # in the int8 scan both LN outputs feed only quantized GEMMs, so the
+    # bf16 LN result is pure intermediate HBM traffic.  Requires int8
+    # params with static act_scales; no-op otherwise.
+    ln_quant_fusion: bool = False
     # multi-device serving: name of the mesh axis the batch is sharded over
     # (e.g. "data").  When set, the Pallas attention kernels are wrapped in
     # jax.shard_map over that axis so each device runs the kernel on its own

@@ -264,14 +264,14 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
                                              "mask_value", "with_headmean",
                                              "interpret", "block_b",
                                              "clamp_softmax", "hm_dtype",
-                                             "float_dtype"))
+                                             "float_dtype", "q_block"))
 def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
                            num_heads: int,
                            scale: float, mask_value: float = -100.0,
                            with_headmean: bool = False,
                            interpret: bool = False, block_b: int = 1,
                            clamp_softmax: bool = False, hm_dtype=None,
-                           float_dtype=jnp.bfloat16):
+                           float_dtype=jnp.bfloat16, q_block: int = 0):
     # block_b > 1 measured slightly slower at ViT-B sizes (3279 vs 3365
     # img/s end-to-end); kept as a tuning knob for other shapes.
     """qkv: [B, N, 3C] (the fused qkv projection, layout [q|k|v] with heads
@@ -312,7 +312,9 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     # long-seq int8: the int8 path keeps an extra [QB, N] int32 S buffer
     # alive, which pushes N=577 (ViT-L@384) ~0.6 MB over the 16 MB scoped
     # VMEM limit at QB=512 — halve the query block there (bf16 fits at 512)
-    q_block = min(n, 512 if not (int8_io and n > 512) else 256)
+    if q_block <= 0:
+        q_block = min(n, 512 if not (int8_io and n > 512) else 256)
+    q_block = min(q_block, n)
     kernel = functools.partial(_attn_kernel_fused, scale=scale,
                                mask_value=mask_value, num_heads=num_heads,
                                head_dim=dh, q_block=q_block,
@@ -759,7 +761,7 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
         out, cls_row, newj = call_fused(
             qkv, bg, joint, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
-            float_dtype=cfg.dtype, block_b=bb,
+            float_dtype=cfg.dtype, block_b=bb, q_block=cfg.attn_q_block,
             interpret=jax.default_backend() != "tpu")
         hm = None
     elif need_probs == "headmean":
@@ -768,13 +770,13 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
             qkv, bg, None, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, with_headmean=True,
             clamp_softmax=cfg.softmax_clamp, hm_dtype=hm_dtype,
-            float_dtype=cfg.dtype, block_b=bb,
+            float_dtype=cfg.dtype, block_b=bb, q_block=cfg.attn_q_block,
             interpret=jax.default_backend() != "tpu")
     elif int8_io:
         out, cls_row = call_fused(
             qkv, bg, None, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
-            float_dtype=cfg.dtype, block_b=bb,
+            float_dtype=cfg.dtype, block_b=bb, q_block=cfg.attn_q_block,
             interpret=jax.default_backend() != "tpu")
         hm = None
     elif cfg.data_axis is not None and rngs is None:
@@ -783,7 +785,7 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
         out, cls_row = call_fused(
             qkv, bg, None, None, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
-            float_dtype=cfg.dtype, block_b=bb,
+            float_dtype=cfg.dtype, block_b=bb, q_block=cfg.attn_q_block,
             interpret=jax.default_backend() != "tpu")
         hm = None
     else:

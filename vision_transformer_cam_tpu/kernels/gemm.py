@@ -161,6 +161,71 @@ def mlp_fused_int8(x, w1q, cs1, b1, w2q, cs2, b2, inv_a1, inv_a2, *,
 
 
 # ---------------------------------------------------------------------------
+# fused LayerNorm -> int8 quantize (the serving scan's LN-adjacent passes)
+# ---------------------------------------------------------------------------
+
+def _ln_quant_kernel(x_ref, g_ref, b_ref, s_ref, o_ref, **kw):
+    eps = kw["eps"]
+    x = x_ref[:].astype(jnp.float32)                       # [BM, C]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0] + b_ref[0]
+    o_ref[:] = jnp.clip(jnp.round(y * s_ref[0, 0]), -127.0, 127.0
+                        ).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_m", "interpret"))
+def ln_quant(x, scale, bias, *, eps: float, inv_a, block_m: int = 1024,
+             interpret: bool = False):
+    """int8 = quantize(layer_norm(x)): LN and the static-scale activation
+    quantize in ONE row-tiled pass — the tokens tensor is read once (bf16)
+    and written once (int8).  In the int8 serving scan both LayerNorms feed
+    ONLY a quantized GEMM, so the bf16 LN output is pure intermediate
+    traffic; XLA materializes it ([B, N, C] write + read, ~0.66 ms/layer of
+    clamp_convert in the round-2 device profile) because the quantize lives
+    inside the downstream qlinear's fusion, not the LN's.
+
+    x: [..., C]; scale/bias: [C] LN affine params; inv_a: 1/act_scale of
+    the consuming GEMM (f32 scalar).  Exact same math as
+    models.vit._layer_norm followed by ops.quant's static quantize.
+    """
+    shape = x.shape
+    c = shape[-1]
+    m = 1
+    for s in shape[:-1]:
+        m *= s
+    x2 = x.reshape(m, c)
+    mp = _round_up(m, block_m)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    inv_a = jnp.asarray(inv_a, jnp.float32).reshape(1, 1)
+    out = pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=eps),
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((block_m, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, c), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * mp * c,
+            bytes_accessed=mp * c * x.dtype.itemsize + mp * c,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, scale.astype(jnp.float32).reshape(1, -1),
+      bias.astype(jnp.float32).reshape(1, -1), inv_a)
+    return out[:m].reshape(shape)
+
+
+# ---------------------------------------------------------------------------
 # int8 linear with fused quantize epilogue (qkv / proj / patch-embed)
 # ---------------------------------------------------------------------------
 

@@ -334,6 +334,33 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             attention_pallas)
         attn_impl = attention_pallas
 
+    # fused LN -> int8 (serving): eligibility is a static property of the
+    # param tree — both consumers of each LN output must be int8 GEMMs with
+    # static act_scales, so the bf16 LN result never needs to exist
+    bp = params["blocks"]
+    ln_q_attn = (cfg.ln_quant_fusion and not train
+                 and cfg.attn_impl == "pallas" and cfg.int8_attn_io
+                 and all(k in bp["attn"]["qkv"]
+                         for k in ("kernel_q", "act_scale", "out_scales"))
+                 and "act_scale" in bp["attn"]["proj"])
+    ln_q_mlp = (cfg.ln_quant_fusion and not train and not cfg.mlp_fusion
+                and all(k in bp["mlp"][f] for f in ("fc1", "fc2")
+                        for k in ("kernel_q", "act_scale")))
+
+    def _ln_quant_call(tok_a, ln_p, act_scale):
+        from vision_transformer_cam_tpu.kernels.gemm import ln_quant
+        base = functools.partial(ln_quant, eps=cfg.ln_eps,
+                                 interpret=jax.default_backend() != "tpu")
+        if cfg.data_axis is None:
+            return base(tok_a, ln_p["scale"], ln_p["bias"],
+                        inv_a=1.0 / act_scale)
+        from vision_transformer_cam_tpu.kernels.attention import (
+            sharded_kernel_call)
+        fn = sharded_kernel_call(
+            lambda t, s, b, ia: (base(t, s, b, inv_a=ia),),
+            cfg.data_axis, (True, False, False, False), 1)
+        return fn(tok_a, ln_p["scale"], ln_p["bias"], 1.0 / act_scale)[0]
+
     need_probs = "perhead" if need_perhead else (
         "headmean" if (need_headmean or need_rollout) else None)
 
@@ -362,7 +389,10 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                     enumerate(["attn", "proj", "mlp1", "mlp2", "dp1", "dp2"])}
         else:
             rngs = None
-        xn = _layer_norm(tok, lp["ln1"]["scale"], lp["ln1"]["bias"], cfg.ln_eps)
+        xn = _ln_quant_call(tok, lp["ln1"], lp["attn"]["qkv"]["act_scale"]) \
+            if ln_q_attn else \
+            _layer_norm(tok, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                        cfg.ln_eps)
         # kernel-fused rollout only when the head-mean matrices aren't also
         # being collected (the kernel emits one [N,N] output per call)
         fuse_rollout = carry_rollout and not (need_headmean or need_perhead)
@@ -408,8 +438,11 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             if use_rng:
                 o = _drop_path(rngs["dp1"], dp, o)
             tok = tok + o
-        yn = _layer_norm(tok, lp["ln2"]["scale"], lp["ln2"]["bias"], cfg.ln_eps)
         f1, f2 = lp["mlp"]["fc1"], lp["mlp"]["fc2"]
+        yn = _ln_quant_call(tok, lp["ln2"], f1["act_scale"]) \
+            if ln_q_mlp else \
+            _layer_norm(tok, lp["ln2"]["scale"], lp["ln2"]["bias"],
+                        cfg.ln_eps)
         # serving-only fused MLP kernel: the [B*N, 4C] hidden tensor stays in
         # VMEM instead of round-tripping HBM between fc1 and fc2.  `not
         # train`: these kernels have no VJP (same rationale as the block

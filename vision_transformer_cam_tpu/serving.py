@@ -15,8 +15,14 @@ Modes
 - "bf16": bf16 activations+params, tanh GELU, clamp softmax, fused Pallas
           attention — quality cost <= 0.0001 mAP on trained weights.
 - "int8": bf16 mode plus W8A8 GEMMs with static calibrated activation
-          scales and int8 attention I/O (the bench.py headline config,
-          5 516 img/s on one v5e chip) — quality cost <= 0.001 mAP.
+          scales and int8 attention I/O with per-head q/k/v scales (the
+          bench.py headline config) — quality cost <= 0.001 mAP.
+- "int8_hifi": int8 W8A8 GEMMs but the attention core stays bf16/f32
+          (no int8 attention I/O) — the high-fidelity serving point: CAM
+          deviation stays in the ~1e-4 class of the bf16 path because the
+          quantization never touches the attention probabilities the
+          rollout is built from, at a modest throughput cost vs "int8"
+          (numbers in BENCHMARKS.md).
 
 The reference has no serving tier at all — validate.py/predict.py run the
 f32 training graph (validate.py:106-110); this module is the TPU-native
@@ -28,7 +34,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-SERVING_MODES = ("off", "bf16", "int8")
+SERVING_MODES = ("off", "bf16", "int8", "int8_hifi")
 
 
 def serving_config(cfg, mode: str):
@@ -47,6 +53,9 @@ def serving_config(cfg, mode: str):
                       gelu_approx=True, softmax_clamp=True,
                       attn_impl=impl)
     if mode == "int8":
+        # int8_hifi deliberately leaves int8_attn_io off: the GEMMs run
+        # W8A8 but the attention probabilities (and hence the rollout CAM)
+        # are computed from unquantized bf16 q/k/v
         cfg = cfg.replace(int8_attn_io=True)
     return cfg
 
@@ -57,9 +66,9 @@ def apply_serving_mode(params, cfg, mode: str, calib_images=None,
 
     calib_images: [N, H, W, 3] float batch for the int8 static activation
     calibration (8-16 representative images suffice; quality_eval.py uses
-    16).  Required for "int8" — passing none would silently fall back to
-    dynamic absmax quantization, which is both slower (2 341 vs 5 516
-    img/s) and NOT the characterized config, so it raises instead.
+    16).  Required for "int8"/"int8_hifi" — passing none would silently
+    fall back to dynamic absmax quantization, which is both slower (2 341
+    vs 5 516 img/s) and NOT the characterized config, so it raises instead.
     """
     new_cfg = serving_config(cfg, mode)
     if mode == "off":
@@ -67,10 +76,10 @@ def apply_serving_mode(params, cfg, mode: str, calib_images=None,
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16)
         if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
-    if mode == "int8":
+    if mode in ("int8", "int8_hifi"):
         if calib_images is None:
             raise ValueError(
-                "serving mode 'int8' needs calib_images for the static "
+                f"serving mode {mode!r} needs calib_images for the static "
                 "activation scales (dynamic quantization is slower than "
                 "bf16 — see BENCHMARKS.md)")
         from vision_transformer_cam_tpu.ops.quant import (
@@ -80,3 +89,11 @@ def apply_serving_mode(params, cfg, mode: str, calib_images=None,
             margin=calib_margin)
         params = quantize_params(params, act_scales=scales)
     return params, new_cfg
+
+
+def serving_mode_help() -> str:
+    """One-line-per-mode summary for CLI --serving help strings."""
+    return ("off = reference-parity f32; bf16 = bf16 + tanh GELU + clamp "
+            "softmax + fused Pallas attention; int8 adds W8A8 GEMMs + "
+            "per-head int8 attention I/O (fastest); int8_hifi keeps the "
+            "attention core float for ~1e-4-class CAM fidelity")
