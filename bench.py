@@ -107,6 +107,9 @@ def build_cfg(argv, model=None):
         cfg = cfg.replace(int8_fused_gemm=True)
     if "--rollout-post" in argv:
         cfg = cfg.replace(rollout_post=True)
+    if "--rollout-carry" in argv:
+        # force the in-scan joint carry (auto picks rollout_post at N>512)
+        cfg = cfg.replace(rollout_post=False)
     if "--ln-quant" in argv:
         # fused LN -> int8 quantize pass (kernels/gemm.ln_quant)
         cfg = cfg.replace(ln_quant_fusion=True)

@@ -1,0 +1,92 @@
+"""Sweep the attention kernel's q_block at a given shape (real TPU).
+
+Mosaic fully unrolls the kernel's Python q-block loop, so scoped-VMEM
+stack usage is NON-monotonic in q_block: small blocks mean more unrolled
+iterations with live buffers and can OOM where a larger block fits.  This
+probe compiles + times ONE layer per candidate and prints ms/layer or the
+OOM excess — how the ViT-L@384 default (384) was chosen (BENCHMARKS.md).
+
+  python scripts/qblock_sweep.py [--batch 128] [--seq 577] [--heads 16] \
+      [--dh 64] [--bf16] [--block-b 1] [--post] [qb ...]
+
+--post probes the rollout_post-style call (no fused [N,N] joint; the kernel
+emits the f32 head-mean matrix instead) — the long-N serving default.
+NOTE the in-model scoped-VMEM limit is ~200 KB tighter than this
+standalone probe (qb=384 WITH the fused joint fits here but OOMs inside
+the full model); confirm winners with bench.py before changing a default.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def arg(flag, default):
+    return int(sys.argv[sys.argv.index(flag) + 1]) \
+        if flag in sys.argv else default
+
+
+def main():
+    from vision_transformer_cam_tpu.kernels.attention import (
+        masked_attention_fused)
+
+    b = arg("--batch", 128)
+    n = arg("--seq", 577)
+    h = arg("--heads", 16)
+    dh = arg("--dh", 64)
+    bb = arg("--block-b", 1)
+    int8 = "--bf16" not in sys.argv
+    c = h * dh
+    cands = [int(a) for a in sys.argv[1:] if a.isdigit()] or \
+        [n, 512, 384, 289, 256, 224, 192, 128]
+
+    rng = np.random.default_rng(0)
+    if int8:
+        qkv = jnp.asarray(rng.integers(-127, 128, (b, n, 3 * c)), jnp.int8)
+        sc = jnp.asarray(np.concatenate([np.full(3 * h, 0.02), [1 / 0.05]]),
+                         jnp.float32)
+    else:
+        qkv = jnp.asarray(rng.standard_normal((b, n, 3 * c)), jnp.bfloat16)
+        sc = None
+    bg = jnp.zeros((b, n), jnp.float32)
+    post = "--post" in sys.argv
+    joint = None if post else \
+        jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (b, n, n))
+
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    for qb in cands:
+        try:
+            def f():
+                return masked_attention_fused(
+                    qkv, bg, joint, sc, num_heads=h, scale=dh ** -0.5,
+                    clamp_softmax=True, float_dtype=jnp.bfloat16,
+                    with_headmean=post, hm_dtype=jnp.float32 if post
+                    else None, block_b=bb, q_block=qb)
+            r = f()
+            sync(r[2])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                r = f()
+            sync(r[2])
+            ms = (time.perf_counter() - t0) / 10 * 1e3
+            print(f"qb={qb:4d}  {ms:7.2f} ms/layer", flush=True)
+        except Exception as e:  # OOM reports the excess; keep sweeping
+            msg = str(e)
+            key = "exceeded scoped vmem limit by"
+            short = msg[msg.find(key):msg.find(key) + 40] if key in msg \
+                else type(e).__name__ + ": " + msg[:100].replace("\n", " ")
+            print(f"qb={qb:4d}  FAIL {short}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,29 @@ def test_rollout_post_matches_carry(impl):
                                   np.asarray(ref.top_patch_idx))
 
 
+def test_rollout_post_auto_long_sequence():
+    """rollout_post=None (the default) auto-selects the post-scan chain at
+    N > 512 — exercised on a 577-token config (img 384 / patch 16, ViT-L@384
+    token count) — and both explicit settings match it exactly."""
+    cfg = configs.ViTCAMConfig(img_size=384, patch_size=16, embed_dim=32,
+                               depth=2, num_heads=2, num_classes=20,
+                               mask_from=1, top_k_patches=4)
+    assert cfg.rollout_post is None
+    params = vit.init(cfg, jax.random.key(2))
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((1, 384, 384, 3)), jnp.float32)
+    auto = vit.apply(params, x, cfg, need_rollout=True)
+    post = vit.apply(params, x, cfg.replace(rollout_post=True),
+                     need_rollout=True)
+    carry = vit.apply(params, x, cfg.replace(rollout_post=False),
+                      need_rollout=True)
+    # auto must be bit-identical to the explicit post path (same program)
+    np.testing.assert_array_equal(np.asarray(auto.rollout_row),
+                                  np.asarray(post.rollout_row))
+    np.testing.assert_allclose(np.asarray(auto.rollout_row),
+                               np.asarray(carry.rollout_row), atol=1e-5)
+
+
 def test_pallas_train_step_grads_match_xla():
     """Training through the Pallas path (custom VJP, XLA-recompute backward)
     must produce the same gradients as the pure-XLA path."""

@@ -100,9 +100,10 @@ class ViTCAMConfig:
     # slower at block_b>1: 3279 vs 3365 img/s end-to-end).
     attn_block_b: int = 0
     # query rows per attention-kernel block.  0 = auto: min(N, 512), except
-    # 256 for int8 at N > 512 (the extra int32 S buffer pushes QB=512 over
-    # the 16 MB scoped-VMEM limit at ViT-L@384's N=577).  Tuning knob for
-    # long-sequence shapes.
+    # int8 at N > 512 (the extra int32 S buffer blows the 16 MB scoped-VMEM
+    # limit at ViT-L@384's N=577): 384 there, or 224 when the [N,N] rollout
+    # is also fused into the kernel (kernels/attention.py has the sweep
+    # notes).  Tuning knob for long-sequence shapes.
     attn_q_block: int = 0
     # serving: compute the rollout CAM as a post-scan reversed vector chain
     # over the stacked per-layer head-mean matrices instead of carrying the
@@ -111,8 +112,12 @@ class ViTCAMConfig:
     # row = ((e_cls A_12) A_11) ... A_1 is a [B, N] vector-matrix chain:
     # each scan layer then only WRITES its head-mean matrix (no [N, N] read,
     # no [N, N] x [N, N] matmul in the hot loop).  Same math, different
-    # association order.  Inference-only knob.
-    rollout_post: bool = False
+    # association order.  Inference-only knob.  None = auto: ON for long
+    # sequences (N > 512, e.g. ViT-L@384's 577 tokens), where the 8.5x
+    # heavier joint carry flips the round-2 "wash at N=197" verdict
+    # (467.9 vs 453 img/s measured) AND the fused-rollout int8 kernel is
+    # VMEM-critical; OFF at short N where the in-scan fused rollout wins.
+    rollout_post: Optional[bool] = None
     # serving: fuse each LayerNorm with the downstream GEMM's static int8
     # activation quantize into ONE Pallas pass (kernels/gemm.ln_quant) —
     # in the int8 scan both LN outputs feed only quantized GEMMs, so the

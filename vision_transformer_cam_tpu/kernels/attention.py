@@ -310,10 +310,24 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     bgk = bg.astype(jnp.float32)[:, None, :]              # [B, 1, N]
 
     # long-seq int8: the int8 path keeps an extra [QB, N] int32 S buffer
-    # alive, which pushes N=577 (ViT-L@384) ~0.6 MB over the 16 MB scoped
-    # VMEM limit at QB=512 — halve the query block there (bf16 fits at 512)
+    # alive, which pushes N=577 (ViT-L@384) over the 16 MB scoped VMEM
+    # limit at QB=512 (bf16 fits at 512).  Stack usage is NON-monotonic in
+    # QB — the q-block loop is Python-unrolled, so SMALLER blocks mean MORE
+    # unrolled iterations with live buffers: at N=577 with per-head scales,
+    # QB 128/192/512/577 all OOM while 224/256/384 fit standalone, and the
+    # in-model limit is ~200 KB tighter still (QB=384 fits standalone but
+    # not in-model WITH the fused [N,N] rollout).  The default long-N
+    # serving path is therefore rollout_post (configs.ModelConfig) — no
+    # [N,N] joint in the kernel at all — where QB=384 fits and is fastest
+    # (7.81 ms/layer vs 8.20 at 256).  The fused-rollout long-N fallback
+    # (explicit rollout_post=False) drops to QB=224, the only candidate
+    # that also fits in-model with the joint resident.
+    # Sweep tool: scripts/qblock_sweep.py; numbers in BENCHMARKS "ViT-L@384".
     if q_block <= 0:
-        q_block = min(n, 512 if not (int8_io and n > 512) else 256)
+        if int8_io and n > 512:
+            q_block = 384 if joint is None else 224
+        else:
+            q_block = 512
     q_block = min(q_block, n)
     kernel = functools.partial(_attn_kernel_fused, scale=scale,
                                mask_value=mask_value, num_heads=num_heads,

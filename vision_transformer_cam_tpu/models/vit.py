@@ -374,7 +374,9 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
     # rollout_post: only the final ROW of J is needed, so each layer just
     # emits its head-mean matrix and a reversed [B, N] vector-matrix chain
     # runs after the scan — no [N, N] joint carry in the hot loop.
-    rollout_post = (need_rollout and cfg.rollout_post and not train
+    # None = auto: on for long sequences (see configs.ModelConfig).
+    want_post = (n > 512) if cfg.rollout_post is None else cfg.rollout_post
+    rollout_post = (need_rollout and want_post and not train
                     and not (need_headmean or need_perhead))
     carry_rollout = need_rollout and not rollout_post
     joint0 = jnp.broadcast_to(jnp.eye(n, dtype=rollout_dtype), (b, n, n)) \
