@@ -132,6 +132,37 @@ def test_int8_attn_io_kernel_matches_dequant_reference():
     np.testing.assert_allclose(np.asarray(cls_got), cls_ref, atol=1e-5)
 
 
+def test_int8_attn_io_long_sequence_qblock_auto():
+    """At N > 512 the int8 kernel auto-resolves q_block 384 (no fused joint
+    — the rollout_post serving default) or 224 (joint fused in-kernel, the
+    --rollout-carry fallback).  Both branches must execute (ragged tail
+    blocks: 577 = 384+193 and 224+224+129) and agree: query rows are
+    independent across q-blocks, so outputs match to fp noise and the fused
+    joint update equals (hm + I) / 2 when J_{l-1} = I."""
+    from vision_transformer_cam_tpu.kernels.attention import (
+        masked_attention_fused)
+    rng = np.random.default_rng(21)
+    b, h, n, dh = 1, 2, 577, 8
+    c = h * dh
+    qkv_i8 = jnp.asarray(rng.integers(-127, 128, (b, n, 3 * c)), jnp.int8)
+    bg = jnp.asarray(rng.random((b, n)) < 0.3, jnp.float32)
+    bg = bg.at[:, 0].set(0.0)
+    scales = jnp.asarray([0.011, 0.017, 0.023, 1.0 / 0.05], jnp.float32)
+    out_a, cls_a, hm = masked_attention_fused(
+        qkv_i8, bg, None, scales, num_heads=h, scale=dh ** -0.5,
+        with_headmean=True, hm_dtype=jnp.float32,
+        float_dtype=jnp.float32, interpret=True)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (b, n, n))
+    out_b, cls_b, newj = masked_attention_fused(
+        qkv_i8, bg, eye, scales, num_heads=h, scale=dh ** -0.5,
+        float_dtype=jnp.float32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    np.testing.assert_allclose(np.asarray(cls_a), np.asarray(cls_b),
+                               atol=1e-6)
+    want_j = (np.asarray(hm) + np.eye(n, dtype=np.float32)) / 2.0
+    np.testing.assert_allclose(np.asarray(newj), want_j, atol=1e-6)
+
+
 def test_int8_attn_io_per_head_scales_kernel():
     """Per-head scales form [3H+1]: the kernel dequantizes each head's
     q/k/v slice with its own scale — numerically equal to the dequantized
