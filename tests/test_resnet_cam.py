@@ -19,6 +19,48 @@ def test_resnet_forward_shapes():
     assert feats.shape == (2, 2, 2, 512)  # 64 / 2(stem) / 2(pool) / 8(stages)
 
 
+def test_squeezenet_forward_shapes():
+    """t.py model_id 1 (squeezenet1_1): hooked `features` is the post-fire9
+    512-channel map; logits come from the 1x1 classifier conv + avgpool."""
+    from vision_transformer_cam_tpu.models import squeezenet
+    params = squeezenet.init(jax.random.key(0), num_classes=10)
+    x = jnp.zeros((2, 224, 224, 3))
+    logits, feats = squeezenet.apply(params, x)
+    assert logits.shape == (2, 10)
+    assert feats.shape == (2, 13, 13, 512)  # torchvision squeezenet1_1 grid
+    assert squeezenet.cam_weight(params).shape == (512, 10)
+
+
+def test_densenet_forward_shapes():
+    """t.py model_id 3 (densenet161): tiny instance (growth 8, 2 blocks) —
+    the channel plan must follow init+k*layers with half-width transitions,
+    and the hooked `features` tensor is post-norm5, pre-relu."""
+    from vision_transformer_cam_tpu.models import densenet
+    params = densenet.init(jax.random.key(0), num_classes=7, growth=8,
+                           blocks=(2, 3), init_features=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    logits, feats = densenet.apply(params, x)
+    # 16 -> block1 16+2*8=32 -> trans 16 -> block2 16+3*8=40 channels;
+    # 64px / 2 (stem) / 2 (pool) / 2 (one transition) = 8
+    assert logits.shape == (1, 7)
+    assert feats.shape == (1, 8, 8, 40)
+    assert densenet.cam_weight(params).shape == (40, 7)
+    # pre-relu hook point: a random-init densenet must show negative values
+    params2 = densenet.init(jax.random.key(1), num_classes=7, growth=8,
+                            blocks=(2, 3), init_features=16)
+    _, f2 = densenet.apply(params2, jnp.ones((1, 64, 64, 3)))
+    assert float(jnp.min(f2)) < 0
+
+
+def test_densenet161_default_channel_plan():
+    """The default init must build the 161 config: growth 48, blocks
+    6/12/36/24, stem 96 -> 2208 final channels (torchvision densenet161)."""
+    from vision_transformer_cam_tpu.models import densenet
+    params = densenet.init(jax.random.key(0), num_classes=3)
+    assert params["norm5"]["scale"].shape == (2208,)
+    assert densenet.cam_weight(params).shape == (2208, 3)
+
+
 def test_return_cam_matches_manual():
     rng = np.random.default_rng(0)
     feats = rng.standard_normal((7, 7, 16)).astype(np.float32)
@@ -44,6 +86,13 @@ def test_cnn_cam_demo_cli(tmp_path):
     assert len(res["top"]) == 3
     files = os.listdir(tmp_path / "cams")
     assert len(files) == 3 and all(f.endswith(".jpg") for f in files)
+    # the other two t.py architectures through the same CLI (model_id table)
+    res = cnn_cam_demo.main(["--image", str(img), "--topk", "2",
+                             "--num_classes", "12",
+                             "--arch", "squeezenet1_1",
+                             "--out", str(tmp_path / "cams_sq")])
+    assert len(res["top"]) == 2
+    assert len(os.listdir(tmp_path / "cams_sq")) == 2
 
 
 def test_render_origin_cams(tmp_path):

@@ -89,6 +89,13 @@ def apply(params, x):
     return logits, feats
 
 
+def cam_weight(params):
+    """[C, num_classes] CAM weight — the fc kernel (t.py:52's params[-2]);
+    same accessor surface as models/squeezenet.py and models/densenet.py so
+    the demo CLI dispatches over architectures generically."""
+    return params["fc"]["kernel"]
+
+
 def return_cam(features, fc_kernel, class_ids):
     """t.py:55-75: CAM_c = normalize(sum_k w[k,c] * feature_k) -> uint8.
 
