@@ -24,10 +24,10 @@ def test_squeezenet_forward_shapes():
     512-channel map; logits come from the 1x1 classifier conv + avgpool."""
     from vision_transformer_cam_tpu.models import squeezenet
     params = squeezenet.init(jax.random.key(0), num_classes=10)
-    x = jnp.zeros((2, 224, 224, 3))
+    x = jnp.zeros((1, 224, 224, 3))
     logits, feats = squeezenet.apply(params, x)
-    assert logits.shape == (2, 10)
-    assert feats.shape == (2, 13, 13, 512)  # torchvision squeezenet1_1 grid
+    assert logits.shape == (1, 10)
+    assert feats.shape == (1, 13, 13, 512)  # torchvision squeezenet1_1 grid
     assert squeezenet.cam_weight(params).shape == (512, 10)
 
 
@@ -56,7 +56,10 @@ def test_densenet161_default_channel_plan():
     """The default init must build the 161 config: growth 48, blocks
     6/12/36/24, stem 96 -> 2208 final channels (torchvision densenet161)."""
     from vision_transformer_cam_tpu.models import densenet
-    params = densenet.init(jax.random.key(0), num_classes=3)
+    # eval_shape: the channel plan is a pure function of the config — no
+    # need to materialize the full 161 weight tree (48 s on this 1-core box)
+    params = jax.eval_shape(
+        lambda k: densenet.init(k, num_classes=3), jax.random.key(0))
     assert params["norm5"]["scale"].shape == (2208,)
     assert densenet.cam_weight(params).shape == (2208, 3)
 
