@@ -44,7 +44,6 @@ def main():
         if "--model" in sys.argv else "vit_base_patch16_224_in21k"
     cfg = configs.MODEL_ZOO[model](num_classes=20)
     cfg = cfg.replace(representation_size=None)
-    params = vit.init(cfg, jax.random.key(0))
 
     if "--train" in sys.argv:
         # the bench.py --train config: bf16, Pallas fwd+bwd kernels, remat
@@ -76,6 +75,7 @@ def main():
                 state, m = run_step(state)
             _ = float(m["loss"])
     else:
+        params = vit.init(cfg, jax.random.key(0))
         calib = jax.random.normal(jax.random.key(7),
                                   (8, cfg.img_size, cfg.img_size, 3),
                                   jnp.float32)

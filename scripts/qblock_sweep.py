@@ -45,8 +45,13 @@ def main():
     bb = arg("--block-b", 1)
     int8 = "--bf16" not in sys.argv
     c = h * dh
-    cands = [int(a) for a in sys.argv[1:] if a.isdigit()] or \
-        [n, 512, 384, 289, 256, 224, 192, 128]
+    # positional candidates only: a digit token directly after a
+    # value-taking flag is that flag's value, not a q-block candidate
+    value_flags = {"--batch", "--seq", "--heads", "--dh", "--block-b"}
+    toks = sys.argv[1:]
+    cands = [int(a) for i, a in enumerate(toks)
+             if a.isdigit() and (i == 0 or toks[i - 1] not in value_flags)] \
+        or [n, 512, 384, 289, 256, 224, 192, 128]
 
     rng = np.random.default_rng(0)
     if int8:

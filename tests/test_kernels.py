@@ -81,6 +81,25 @@ def test_masked_attention_fused_matches_oracle():
                                atol=1e-6)
 
 
+def test_masked_attention_fused_odd_batch_block_b():
+    """block_b must auto-halve until it divides the batch (attention.py's
+    `while b % block_b` guard): an odd batch with block_b=2 — reachable via
+    a shard_map per-device shard or an undivisible val tail batch — must
+    write EVERY image's rows, identically to block_b=1."""
+    q, k, v, bg = _qkv(b=3, h=4, n=37, dh=16, seed=23)
+    b, h, n, dh = q.shape
+    pack = jnp.concatenate(
+        [t.transpose(0, 2, 1, 3).reshape(b, n, h * dh) for t in (q, k, v)],
+        axis=-1)
+    out1, cls1 = ka.masked_attention_fused(pack, bg, num_heads=h, scale=0.25,
+                                           block_b=1, interpret=True)
+    out2, cls2 = ka.masked_attention_fused(pack, bg, num_heads=h, scale=0.25,
+                                           block_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cls2), np.asarray(cls1), atol=1e-6)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
 def test_full_model_pallas_path_matches_xla():
     """End-to-end: cfg.attn_impl='pallas' must reproduce the XLA forward
     (logits, head1, cls rows) on the tiny model."""

@@ -52,7 +52,11 @@ def load_library() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _build():
+        # ALWAYS run the (flock-guarded, no-op-when-fresh) build so edits
+        # to native/ sources rebuild instead of silently loading a stale
+        # .so; fall back to a pre-existing .so only if the build fails
+        # (e.g. no toolchain on a deploy box).
+        if not _build() and not os.path.exists(_SO_PATH):
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
