@@ -90,11 +90,18 @@ def test_cnn_cam_demo_cli(tmp_path):
     files = os.listdir(tmp_path / "cams")
     assert len(files) == 3 and all(f.endswith(".jpg") for f in files)
     # the other two t.py architectures through the same CLI (model_id table)
+    # the other two t.py architectures through the same CLI (model_id
+    # table), plus the labels-json pretty-print path (t.py:95-104)
+    import json
+    labels = tmp_path / "labels.json"
+    labels.write_text(json.dumps([f"class_{i}" for i in range(12)]))
     res = cnn_cam_demo.main(["--image", str(img), "--topk", "2",
                              "--num_classes", "12",
                              "--arch", "squeezenet1_1",
+                             "--labels_json", str(labels),
                              "--out", str(tmp_path / "cams_sq")])
     assert len(res["top"]) == 2
+    assert res["names"][int(res["top"][0])] == f"class_{int(res['top'][0])}"
     assert len(os.listdir(tmp_path / "cams_sq")) == 2
 
 

@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--weights", type=str, default="",
                    help=".npz CNN pytree; empty = random init")
     p.add_argument("--num_classes", type=int, default=1000)
+    p.add_argument("--labels_json", type=str, default="",
+                   help="JSON array of class names (the reference's "
+                        "imagenet-simple-labels.json, t.py:19,95-104); "
+                        "empty = print bare class indices")
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--out", type=str, default="./cnn_cam")
     return p
@@ -62,7 +66,15 @@ def main(argv=None):
     logits, feats = arch.apply(params, x[None])
     probs = np.asarray(jax.nn.softmax(logits[0]))
     top = np.argsort(-probs)[:args.topk]
-    print("top classes:", [(int(c), float(probs[c])) for c in top])
+    names = None
+    if args.labels_json:
+        import json
+        with open(args.labels_json) as f:
+            names = json.load(f)
+        for c in top:  # '{prob:.3f} -> {name}' lines (t.py:102-104)
+            print(f"{probs[c]:.3f} -> {names[int(c)]}")
+    else:
+        print("top classes:", [(int(c), float(probs[c])) for c in top])
 
     cams = resnet.return_cam(np.asarray(feats[0]),
                              np.asarray(arch.cam_weight(params)), top)
@@ -73,7 +85,7 @@ def main(argv=None):
         from vision_transformer_cam_tpu.cam.render import _imwrite
         _imwrite(path, out)
         print("saved", path)
-    return {"top": top, "probs": probs, "cams": cams}
+    return {"top": top, "probs": probs, "cams": cams, "names": names}
 
 
 if __name__ == "__main__":
