@@ -72,6 +72,23 @@ def test_linear_int8_fused_matches_qlinear():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_linear_int8_fused_none_bias():
+    """qkv_bias=False trees store bias=None — the fused kernel must treat it
+    as zeros instead of crashing on None.astype (review finding)."""
+    x = jax.random.normal(jax.random.key(3), (4, 9, C), jnp.float32)
+    w1, _, _, _ = _weights(jax.random.key(2))
+    q1 = quantize_weight(w1)
+    a1 = 0.04
+    ref = qlinear(x, dict(q1, act_scale=jnp.float32(a1)), None,
+                  out_dtype=jnp.float32)
+    cs = (q1["scale"].reshape(1, -1) * a1).astype(jnp.float32)
+    got = linear_int8_fused(x, q1["kernel_q"], cs, None, 1.0 / a1,
+                            block_m=32, out_dtype=jnp.float32,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 TINY = configs.ViTCAMConfig(img_size=32, patch_size=8, embed_dim=64, depth=3,
                             num_heads=4, num_classes=5, mask_from=1,
                             top_k_patches=4)

@@ -206,6 +206,25 @@ def test_pallas_train_step_grads_match_xla():
         np.asarray(a), np.asarray(b), atol=2e-5), g_xla, g_pal)
 
 
+def test_train_grad_through_rollout_pallas():
+    """Differentiating a need_rollout training forward on the pallas path
+    must route attention to the XLA fallback (the rollout-fused kernel has
+    no VJP) and match the XLA path's gradients (review finding)."""
+    params = vit.init(TINY, jax.random.key(4))
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+
+    def loss(p, cfg):
+        out = vit.forward(p, x, cfg, train=True, rng=jax.random.key(2),
+                          need_rollout=True)
+        return jnp.sum(out.rollout_row.astype(jnp.float32) ** 2)
+
+    g_xla = jax.grad(loss)(params, TINY)
+    g_pal = jax.grad(loss)(params, TINY.replace(attn_impl="pallas"))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-5), g_xla, g_pal)
+
+
 def test_pallas_path_falls_back_for_probs():
     """need_headmean forces the XLA path (full tensors requested)."""
     params = vit.init(TINY, jax.random.key(0))

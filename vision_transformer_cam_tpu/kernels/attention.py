@@ -707,7 +707,7 @@ def sharded_kernel_call(fn, data_axis: str, arg_specs, n_out: int):
 
 
 def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
-                     hm_dtype=None):
+                     hm_dtype=None, train=False):
     """Drop-in for models.vit._attention_xla (same signature/returns) using
     the fused kernel.  Falls back to the XLA path when the caller needs the
     per-head probability tensors (predict/validate visualization) or
@@ -715,12 +715,24 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
     — masked_attention_bwd — support training, but not in-kernel dropout
     masks).
 
+    Only the PLAIN fused call has an autodiff rule (fused_attention_diff's
+    custom_vjp); the rollout-fused, headmean-emitting, int8 and shard_mapped
+    variants are raw pallas_calls.  A training graph that needs any of those
+    (e.g. jax.grad over a need_rollout forward for attention supervision)
+    therefore routes to the XLA path — gated on `train`, not on rngs, so
+    deterministic training (all drop ratios 0) is covered too, matching the
+    block/MLP kernel gating in models/vit.py.
+
     cfg.data_axis: multi-device serving — every masked_attention_fused call
     goes through shard_map over that mesh axis (see sharded_kernel_call)."""
     needs_dropout = rngs and (cfg.attn_drop_ratio > 0 or cfg.drop_ratio > 0)
-    if need_probs == "perhead" or needs_dropout:
+    no_vjp_variant = (joint is not None or need_probs == "headmean"
+                      or cfg.data_axis is not None)
+    if need_probs == "perhead" or needs_dropout \
+            or (train and no_vjp_variant):
         from vision_transformer_cam_tpu.models.vit import _attention_xla
-        return _attention_xla(ap, x, bg, cfg, rngs, need_probs)
+        return _attention_xla(ap, x, bg, cfg, rngs, need_probs,
+                              joint=joint, hm_dtype=hm_dtype)
     from vision_transformer_cam_tpu.models.vit import _linear
     b, n, c = x.shape
 
@@ -741,7 +753,7 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
     # and the kernel's int8 output feeds the int8 proj GEMM directly —
     # the bf16 qkv/attn-out tensors and the proj-input quantize pass never
     # exist in HBM.
-    int8_io = (cfg.int8_attn_io and rngs is None
+    int8_io = (cfg.int8_attn_io and rngs is None and not train
                and "kernel_q" in ap["qkv"] and "out_scales" in ap["qkv"]
                and "act_scale" in ap["proj"])
     scales = None

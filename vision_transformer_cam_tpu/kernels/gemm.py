@@ -244,10 +244,13 @@ def linear_int8_fused(x, wq, cs, b, inv_a, *, block_m: int = 512,
     the GEMM kernel (no int8 activation copy in HBM).
 
     x: [..., K] float; wq: [K, N] int8; cs: combined scale [1, N] f32
-    (act_scale * per-channel weight scale); b: [N]; inv_a: 1/act_scale.
+    (act_scale * per-channel weight scale); b: [N] or None (qkv_bias=False
+    trees store bias=None); inv_a: 1/act_scale.
     """
     shape = x.shape
     k, n = wq.shape
+    if b is None:
+        b = jnp.zeros((n,), jnp.float32)
     m = 1
     for s in shape[:-1]:
         m *= s

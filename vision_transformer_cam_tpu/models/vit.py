@@ -236,7 +236,7 @@ def patch_embed(params, x, cfg: ViTCAMConfig):
 
 
 def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs,
-                   joint=None, hm_dtype=None):
+                   joint=None, hm_dtype=None, train=False):
     """Reference-shaped attention (vit_model.py:103-140), XLA path.
 
     bg: [B, N] float {0,1} background indicator (cls position always 0);
@@ -254,8 +254,11 @@ def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs,
     attn = attn + (cfg.mask_value * pair)[:, None, :, :]
     if cfg.softmax_clamp:
         # honor the serving knob on the XLA path too (it was a silent
-        # no-op here): softmax is shift-invariant, so softmax(min(s, 80))
-        # reproduces the kernel's clamp math exactly
+        # no-op here).  Matches the kernel whenever raw logits stay below
+        # 80 (trained ViTs never exceed it — kernels/attention.py:218-222);
+        # above that the two differ on bg-query rows, because here the
+        # clamp applies AFTER the symmetric -100 pair mask while the kernel
+        # clamps its rank-1-masked logits (a row-constant -100 shift apart).
         attn = jnp.minimum(attn, 80.0)
     probs = jax.nn.softmax(attn, axis=-1)
 
@@ -436,7 +439,8 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             o, cls_row, hm, ph, newj = attn_impl(
                 lp["attn"], xn, bg, cfg, rngs, need_probs,
                 joint=joint if fuse_rollout else None,
-                hm_dtype=rollout_dtype if rollout_post else None)
+                hm_dtype=rollout_dtype if rollout_post else None,
+                train=train)
             if use_rng:
                 o = _drop_path(rngs["dp1"], dp, o)
             tok = tok + o

@@ -31,9 +31,9 @@ def quantize_weight(w):
 def qlinear(x, qp, bias=None, out_dtype=jnp.bfloat16):
     """y = x @ w + b with int8 x int8 -> int32 on the MXU.
 
-    x: [..., in] any float dtype; qp: quantize_weight output (supports a
-    leading stacked-layer axis on kernel_q/scale when x carries no such
-    axis — the lax.scan per-layer slice case is handled by the caller).
+    x: [..., in] any float dtype; qp: quantize_weight output for ONE layer
+    (kernel_q [in, out] — stacked [L, in, out] trees are sliced per layer
+    by the lax.scan body before reaching here).
     Activation scale: static (qp['act_scale'], from calibrate_act_scales)
     when present — no reduction pass at serving time; dynamic per-tensor
     absmax otherwise.
@@ -109,17 +109,16 @@ def qlinear_gelu_requant(x, qp, out_scale, gelu_approx=True):
     return jnp.clip(jnp.round(y / out_scale), -127, 127).astype(jnp.int8)
 
 
-_QUANT_KEYS = ("qkv", "proj", "fc1", "fc2")
-
-
 def quantize_params(params, act_scales=None):
     """Return a copy of the model pytree with the per-block GEMM kernels and
     the patch-embed kernel replaced by int8 dicts (models/vit._linear
     dispatches on the 'kernel_q' key).  `act_scales` (from
     calibrate_act_scales) attaches static activation scales — the serving
     path then needs no runtime absmax reduction."""
-    import copy
-    out = copy.deepcopy(jax.tree.map(lambda x: x, params))
+    # container-only copy: tree.map rebuilds every dict/list fresh (those
+    # are all we mutate below); the weight arrays themselves are immutable
+    # and shared, so no transient 2x parameter memory
+    out = jax.tree.map(lambda x: x, params)
 
     def q(node, scale=None):
         d = dict(quantize_weight(node["kernel"]), bias=node.get("bias"))
@@ -185,10 +184,11 @@ def calibrate_act_scales(params, cfg, images, margin: float = 1.0):
             qkv_out.shape[0], qkv_out.shape[1], 3, cfg.num_heads,
             cfg.head_dim).astype(jnp.float32))
         qkv_out_amax.append(jnp.max(qh, axis=(0, 1, 4)))
-        o, cls_row, _, _, _ = m._attention_xla(lp["attn"], xn, bg, cfg,
-                                               None, None)
-        # proj input absmax: recompute the pre-proj tensor
-        sc["proj"].append(_absmax(_pre_proj(lp["attn"], xn, bg, cfg)))
+        pre, cls_row = _attn_calib(qkv_out, bg, cfg)
+        sc["proj"].append(_absmax(pre))
+        o = jnp.dot(pre, lp["attn"]["proj"]["kernel"],
+                    preferred_element_type=cfg.dtype) \
+            + lp["attn"]["proj"]["bias"]
         tokens = tokens + o
         yn = m._layer_norm(tokens, lp["ln2"]["scale"], lp["ln2"]["bias"],
                            cfg.ln_eps)
@@ -203,12 +203,14 @@ def calibrate_act_scales(params, cfg, images, margin: float = 1.0):
         if i >= cfg.mask_from:  # mask recompute schedule (vit_model.py:325)
             _, bg = m._mask_from_cls_row(cls_row, cfg)
 
-    def to_scale(v):
-        return float(v) * margin / 127.0
-
-    out = {"patch_embed": to_scale(s_patch),
-           "blocks": {k: jnp.asarray([to_scale(v) for v in sc[k]],
-                                     jnp.float32) for k in sc}}
+    # ONE device->host gather for all ~4*depth+1 absmax scalars — float()
+    # per value would block on a tunnel round-trip each (CLAUDE.md gotcha)
+    host = jax.device_get({"patch": s_patch,
+                           **{k: jnp.stack(v) for k, v in sc.items()}})
+    f = margin / 127.0
+    out = {"patch_embed": float(host["patch"]) * f,
+           "blocks": {k: jnp.asarray(host[k] * f, jnp.float32)
+                      for k in sc}}
     # [depth, 3, H] per-head (q, k, v) output scales
     out["blocks"]["qkv_out"] = (jnp.stack(qkv_out_amax)
                                 * (margin / 127.0)).astype(jnp.float32)
@@ -223,19 +225,22 @@ def _absmax_of_patch_input(x, cfg):
     return _absmax(x)
 
 
-def _pre_proj(ap, x, bg, cfg):
-    """Recompute attention output before the proj GEMM (calibration only)."""
-    b, n, c = x.shape
+def _attn_calib(qkv_out, bg, cfg):
+    """(pre_proj [B,N,C], cls_row [B,N]) from the already-computed fused qkv
+    output — ONE attention pass per layer with the serving graph's math
+    (incl. the softmax clamp when cfg.softmax_clamp), so the proj act_scale
+    is calibrated on exactly the probabilities serving produces."""
+    b, n, _ = qkv_out.shape
     h, dh = cfg.num_heads, cfg.head_dim
-    qkv = jnp.dot(x, ap["qkv"]["kernel"],
-                  preferred_element_type=cfg.dtype) \
-        + ap["qkv"].get("bias", 0.0)
-    qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    qkv = qkv_out.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                    preferred_element_type=cfg.dtype) * cfg.scale
     pair = jnp.minimum(bg[:, :, None] + bg[:, None, :], 1.0)
     s = s + (cfg.mask_value * pair)[:, None, :, :]
+    if cfg.softmax_clamp:
+        s = jnp.minimum(s, 80.0)
     p = jax.nn.softmax(s, axis=-1)
+    cls_row = jnp.mean(p, axis=1)[:, 0, :]
     o = jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=cfg.dtype)
-    return o.transpose(0, 2, 1, 3).reshape(b, n, c)
+    return o.transpose(0, 2, 1, 3).reshape(b, n, h * dh), cls_row
