@@ -176,6 +176,21 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ckptlib.latest_tag(str(tmp_path)) == "ep0"
 
 
+def test_load_weights_from_orbax_dir(tmp_path):
+    """validate/predict/export --weights accepts the orbax checkpoint DIR
+    cli.train writes (no .npz conversion step in the user path): the params
+    subtree comes back exactly, optimizer state dropped."""
+    from vision_transformer_cam_tpu.io import weights as wio
+    params = vit.init(TINY, jax.random.key(2))
+    tx, _ = statelib.make_optimizer(configs.OptimConfig(),
+                                    global_batch_size=8, steps_per_epoch=1)
+    st = statelib.create_train_state(params, tx)
+    path = ckptlib.save(str(tmp_path), "final", st)
+    loaded = wio.load_weights(path, TINY)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), st.params, loaded)
+
+
 def test_fused_rollout_matches_posthoc_chain():
     """The in-scan rollout carry == the reference's post-hoc recursive matmul
     (predict.py:222-226) == the O(N^2) reverse-scan cls row."""

@@ -43,7 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="vit_base_patch16_224_in21k")
     p.add_argument("--num_classes", type=int, default=20)
     p.add_argument("--weights", type=str, default="",
-                   help=".pth or .npz fine-tuned weights; empty = random "
+                   help=".pth / .npz fine-tuned weights or an orbax "
+                        "checkpoint dir from cli.train; empty = random "
                         "(shape/perf testing)")
     p.add_argument("--serving", type=str, default="int8",
                    choices=list(serving.SERVING_MODES))
@@ -86,8 +87,7 @@ def build_fn(args):
     cfg = factory(num_classes=args.num_classes)
     cfg = cfg.replace(representation_size=None)
     if args.weights:
-        params = wio.load_npz(args.weights) if args.weights.endswith(".npz") \
-            else wio.load_pth(args.weights, cfg, del_keys=())
+        params = wio.load_weights(args.weights, cfg, del_keys=())
     else:
         params = vit.init(cfg, jax.random.key(0))
     calib = None

@@ -135,9 +135,8 @@ def main(argv=None):
     init_params = vit.init(cfg, jax.random.key(0))
     if args.weights:
         # head keys deleted, strict=False fallback to init (predict.py:117-123)
-        params = wio.load_npz(args.weights) if args.weights.endswith(".npz") \
-            else wio.load_pth(args.weights, cfg, params=init_params,
-                              del_keys=("head.weight", "head.bias"))
+        params = wio.load_weights(args.weights, cfg, params=init_params,
+                                  del_keys=("head.weight", "head.bias"))
     else:
         params = init_params
 

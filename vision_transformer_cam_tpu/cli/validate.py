@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'vit_base' (reference alias) or a MODEL_ZOO name")
     p.add_argument("--num_classes", type=int, default=20)
     p.add_argument("--weights", type=str, default="",
-                   help=".pth or .npz fine-tuned weights; empty = random")
+                   help=".pth / .npz fine-tuned weights or an orbax "
+                        "checkpoint dir from cli.train; empty = random")
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--dataset_path", type=str, required=True,
                    help="VOC2012 root (contains JPEGImages/)")
@@ -93,8 +94,7 @@ def val(args) -> dict:
     pcfg = configs.PseudoSegConfig()
     if args.weights:
         # full fine-tuned load, heads kept (validate.py:106-110)
-        params = wio.load_npz(args.weights) if args.weights.endswith(".npz") \
-            else wio.load_pth(args.weights, cfg, del_keys=())
+        params = wio.load_weights(args.weights, cfg, del_keys=())
     else:
         params = vit.init(cfg, jax.random.key(0))
 

@@ -10,6 +10,7 @@ fine-tuned checkpoints load natively.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -176,6 +177,27 @@ def load_pth(path: str, cfg: ViTCAMConfig, params: Optional[dict] = None,
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
     return pytree_from_state_dict(sd, cfg, params=params, del_keys=del_keys)
+
+
+def load_weights(path: str, cfg: ViTCAMConfig, params: Optional[dict] = None,
+                 del_keys: Sequence[str] = ()) -> dict:
+    """Load model weights from ANY container the framework produces or
+    consumes: a flat .npz (save_npz), a reference-format .pth (torch
+    state_dict, with optional head-key surgery), or an orbax checkpoint
+    DIRECTORY as written by cli.train — so validate/predict/export can point
+    straight at `<ckpt_dir>/<tag>` without an .npz conversion step.  For a
+    checkpoint directory the params subtree of the full train state is
+    returned (optimizer moments and step are dropped)."""
+    if os.path.isdir(path):
+        import jax
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+        tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        tree = tree.get("params", tree)  # full train state vs bare params
+        return jax.tree.map(jnp.asarray, tree)
+    if path.endswith(".npz"):
+        return load_npz(path)
+    return load_pth(path, cfg, params=params, del_keys=del_keys)
 
 
 def save_npz(path: str, params: dict) -> None:
