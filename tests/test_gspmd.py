@@ -106,7 +106,7 @@ def test_plain_jit_replicates_pallas_call():
     assert out.addressable_shards[0].data.shape[0] == b
 
 
-@pytest.mark.parametrize("mode", ["bf16", "int8"])
+@pytest.mark.parametrize("mode", ["bf16", "int8", "int8_hifi"])
 def test_full_serving_forward_sharded(mode):
     """The full CAM serving model (Pallas attention, in-scan rollout) under
     a batch-sharded jit on the 8-device mesh: cfg.data_axis shard_maps the
@@ -117,7 +117,7 @@ def test_full_serving_forward_sharded(mode):
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((16, 32, 32, 3)), jnp.float32)
 
-    calib = x[:4] if mode == "int8" else None
+    calib = x[:4] if mode.startswith("int8") else None
     params, cfg = serving.apply_serving_mode(params, cfg, mode,
                                              calib_images=calib)
     cfg = cfg.replace(attn_impl="pallas")  # CPU resolve picks xla; force

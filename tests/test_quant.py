@@ -264,6 +264,56 @@ def test_int8_attn_io_model_forward_close():
     assert np.isfinite(np.asarray(got.head1_logits)).all()
 
 
+def test_int8_attn_out_kernel_matches_quantized_float():
+    """Output-only int8 (the int8_hifi lever): float qkv + scales=[1/s_out]
+    must equal running the float kernel and quantizing its output — the
+    probabilities (and cls row) are untouched by construction."""
+    from vision_transformer_cam_tpu.kernels.attention import (
+        masked_attention_fused)
+    rng = np.random.default_rng(13)
+    b, h, n, dh = 2, 4, 37, 16
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * h * dh)), jnp.float32)
+    bg = jnp.asarray(rng.random((b, n)) < 0.3, jnp.float32)
+    bg = bg.at[:, 0].set(0.0)
+    s_out = 0.04
+    ref_f, cls_f = masked_attention_fused(qkv, bg, num_heads=h, scale=0.25,
+                                          interpret=True)
+    got, cls_got = masked_attention_fused(
+        qkv, bg, None, jnp.asarray([1.0 / s_out], jnp.float32),
+        num_heads=h, scale=0.25, interpret=True)
+    assert got.dtype == jnp.int8
+    ref_i8 = np.clip(np.round(np.asarray(ref_f, np.float32) / s_out),
+                     -127, 127).astype(np.int8)
+    np.testing.assert_array_equal(np.asarray(got), ref_i8)
+    np.testing.assert_array_equal(np.asarray(cls_got), np.asarray(cls_f))
+
+
+def test_int8_attn_out_model_forward_close():
+    """Full model with cfg.int8_attn_out (int8_hifi serving): pallas path
+    emits int8 straight into the int8 proj GEMM; accuracy class unchanged
+    and the rollout/in-scan CAM machinery still runs."""
+    params = vit.init(TINY, jax.random.key(0))
+    rng = np.random.default_rng(14)
+    calib = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    scales = quant.calibrate_act_scales(params, TINY, calib)
+    qparams = quant.quantize_params(params, act_scales=scales)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ref = vit.apply(params, x, TINY, need_rollout=True)
+    cfg = TINY.replace(attn_impl="pallas", int8_attn_out=True)
+    got = vit.apply(qparams, x, cfg, need_rollout=True)
+    a = np.asarray(ref.logits).ravel()
+    b = np.asarray(got.logits).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99
+    assert np.isfinite(np.asarray(got.rollout_row)).all()
+    # and it matches the same quantized tree on the XLA path (which rounds
+    # the proj input from the float output — the same int8 grid) closely
+    xla = vit.apply(qparams, x, TINY.replace(int8_attn_out=True),
+                    need_rollout=True)
+    np.testing.assert_allclose(np.asarray(got.logits),
+                               np.asarray(xla.logits), atol=2e-2)
+
+
 def test_apply_serving_mode():
     """serving.apply_serving_mode: the one-call production config — 'off'
     is identity, 'bf16'/'int8' stay in the f32 path's accuracy class, and
@@ -292,8 +342,10 @@ def test_apply_serving_mode():
         # interpret-mode pallas would be a silent orders-of-magnitude trap)
         assert c.attn_impl == ("pallas" if jax.default_backend() == "tpu"
                                else "xla")
-        # int8_hifi: W8A8 GEMMs but the attention core stays float
+        # int8_hifi: W8A8 GEMMs but the attention core stays float; the
+        # kernel still emits its OUTPUT pre-quantized for the proj GEMM
         assert c.int8_attn_io == (mode == "int8")
+        assert c.int8_attn_out == (mode == "int8_hifi")
         if mode.startswith("int8"):
             assert "kernel_q" in p["blocks"]["mlp"]["fc1"]
             assert "act_scale" in p["blocks"]["mlp"]["fc1"]

@@ -94,6 +94,15 @@ class ViTCAMConfig:
     # kernel emits int8 for the downstream int8 proj GEMM.  Requires
     # quantize_params(act_scales=...) params.  Softmax/mask/rollout stay f32.
     int8_attn_io: bool = False
+    # serving: int8 attention OUTPUT only (the int8_hifi mode's lever) —
+    # q/k/v stay float so the attention probabilities (and the rollout CAM
+    # built from them) are full-fidelity, but the kernel emits its output
+    # already requantized to the proj GEMM's static act_scale: the bf16
+    # attn-out tensor and the separate proj-input quantize pass never exist
+    # in HBM.  Rounds from the in-kernel f32 accumulator, i.e. lands on the
+    # same int8 grid as (or closer to f32 than) quantizing the bf16 output
+    # outside.  Ignored when int8_attn_io already applies.
+    int8_attn_out: bool = False
     # images per attention-kernel program.  0 = auto: 2 under int8 I/O
     # (the int8 qkv block is half the bf16 VMEM, and block_b=2 measured
     # 4.38 vs 4.58 ms/layer with rollout), 1 otherwise (bf16 measured

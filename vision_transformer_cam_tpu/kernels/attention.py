@@ -160,9 +160,13 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
     h, dh = kw["num_heads"], kw["head_dim"]
     qb_size, clamp = kw["q_block"], kw["clamp_softmax"]
     int8_io = kw["int8_io"]
+    # int8 OUTPUT only (int8_hifi serving): float q/k/v -> full-fidelity
+    # probabilities, but the output store is requantized to the proj GEMM's
+    # static act_scale (scales = [1/s_out], one SMEM scalar)
+    int8_out = kw.get("int8_out", False)
     rest = list(rest)
     joint_ref = rest.pop(0) if kw["with_rollout"] else None
-    sc_ref = rest.pop(0) if int8_io else None
+    sc_ref = rest.pop(0) if (int8_io or int8_out) else None
     if kw["with_rollout"]:
         o_ref, cls_ref, newj_ref = rest
         hm_ref = ()
@@ -177,6 +181,8 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
     per_head_sc = kw.get("per_head_scales", False)
     if int8_io:
         inv_out = sc_ref[0, 3 * h if per_head_sc else 3]
+    elif int8_out:
+        inv_out = sc_ref[0, 0]
     bb, n, _ = qkv_ref.shape
     c = h * dh
     # static query-block ranges (last block may be short) — keeps the live
@@ -236,7 +242,7 @@ def _attn_kernel_fused(qkv_ref, bg_ref, *rest, **kw):
                     # instead of the [QB, N] probabilities
                     ov = jnp.dot(e.astype(v.dtype), v,
                                  preferred_element_type=jnp.float32) / denom
-                if int8_io:
+                if int8_io or int8_out:
                     ov = jnp.clip(jnp.round(ov * inv_out), -127.0, 127.0)
                 o_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh] = \
                     ov.astype(o_ref.dtype)
@@ -290,6 +296,9 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     c = c3 // 3
     dh = c // num_heads
     int8_io = qkv.dtype == jnp.int8
+    # float qkv + a scales vector = int8 OUTPUT only (int8_hifi):
+    # scales = [1/s_out], full-fidelity float probabilities, int8 out store
+    int8_out = (not int8_io) and scales is not None
     per_head_sc = False
     if int8_io:
         if scales is None:
@@ -301,6 +310,11 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
             raise ValueError(
                 f"scales must have 4 (per-tensor) or {3 * num_heads + 1} "
                 f"(per-head) entries, got {scales.shape[0]}")
+    elif int8_out:
+        scales = jnp.asarray(scales, jnp.float32).reshape(-1)
+        if scales.shape[0] != 1:
+            raise ValueError("int8-out mode takes scales = [1/s_out], got "
+                             f"{scales.shape[0]} entries")
     f_dtype = float_dtype if int8_io else qkv.dtype
     if block_b < 1:
         raise ValueError(f"block_b must be >= 1, got {block_b}")
@@ -335,7 +349,7 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
                                clamp_softmax=clamp_softmax,
                                with_rollout=joint is not None,
                                with_headmean=with_headmean,
-                               int8_io=int8_io,
+                               int8_io=int8_io, int8_out=int8_out,
                                per_head_scales=per_head_sc)
     qkv_spec = pl.BlockSpec((bb, n, c3), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -348,7 +362,8 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     in_specs = [qkv_spec, row_spec]
     inputs = [qkv, bgk]
     out_specs = [o_spec, row_spec]
-    out_shape = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+    out_shape = [jax.ShapeDtypeStruct((b, n, c),
+                                      jnp.int8 if int8_out else qkv.dtype),
                  jax.ShapeDtypeStruct((b, 1, n), f_dtype)]
     if joint is not None:
         in_specs.append(nn_spec)
@@ -359,7 +374,7 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
         out_specs.append(nn_spec)
         out_shape.append(jax.ShapeDtypeStruct((b, n, n),
                                               hm_dtype or f_dtype))
-    if int8_io:
+    if int8_io or int8_out:
         n_sc = int(scales.shape[0])
         in_specs.append(pl.BlockSpec((1, n_sc), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
@@ -776,6 +791,14 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
                                 1.0 / ap["proj"]["act_scale"]])
     else:
         qkv = _linear(x, ap["qkv"], cfg)
+        # int8 OUTPUT only (int8_hifi): q/k/v and the probabilities stay
+        # float, but the kernel emits the output requantized to the proj
+        # GEMM's static act_scale — the bf16 attn-out write and the proj
+        # input-quantize pass disappear from HBM at zero fidelity cost
+        # relative to quantizing that bf16 tensor outside the kernel.
+        if (cfg.int8_attn_out and rngs is None and not train
+                and "kernel_q" in ap["proj"] and "act_scale" in ap["proj"]):
+            scales = 1.0 / ap["proj"]["act_scale"].reshape(1)
     newj = None
     # cfg.attn_block_b == 0 -> auto: 2 images/program under int8 I/O (half
     # the VMEM per image; measured 4.38 vs 4.58 ms/layer), 1 for bf16
@@ -798,7 +821,7 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
             clamp_softmax=cfg.softmax_clamp, hm_dtype=hm_dtype,
             float_dtype=cfg.dtype, block_b=bb, q_block=cfg.attn_q_block,
             interpret=jax.default_backend() != "tpu")
-    elif int8_io:
+    elif int8_io or scales is not None:
         out, cls_row = call_fused(
             qkv, bg, None, scales, num_heads=cfg.num_heads, scale=cfg.scale,
             mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,

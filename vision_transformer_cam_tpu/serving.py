@@ -57,6 +57,12 @@ def serving_config(cfg, mode: str):
         # W8A8 but the attention probabilities (and hence the rollout CAM)
         # are computed from unquantized bf16 q/k/v
         cfg = cfg.replace(int8_attn_io=True)
+    elif mode == "int8_hifi":
+        # output-only int8 attention I/O: probabilities stay float (the
+        # hifi contract) but the kernel emits the output pre-quantized for
+        # the int8 proj GEMM — saves the bf16 attn-out write + the proj
+        # input-quantize pass at zero fidelity cost vs quantizing outside
+        cfg = cfg.replace(int8_attn_out=True)
     return cfg
 
 
