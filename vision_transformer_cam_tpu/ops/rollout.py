@@ -71,30 +71,51 @@ def rollout_cls_row(headmean_stack):
     return v
 
 
-def rollout_cam(headmean_stack, grid_size, prefix_tokens: int = 1):
+def _prefix(row_len: int, grid_size: int, prefix_tokens) -> int:
+    """Number of non-patch prefix tokens to drop before the grid reshape.
+
+    None (the default everywhere) infers it from the row length — 1 for
+    plain configs, 2 for distilled (cls + dist) — so every CAM call site
+    handles distilled models without threading cfg.num_tokens through
+    (bench/validate/predict/export all hit this)."""
+    if prefix_tokens is None:
+        prefix_tokens = row_len - grid_size * grid_size
+    if not 0 <= prefix_tokens <= row_len - grid_size * grid_size:
+        raise ValueError(
+            f"rollout row of length {row_len} does not hold a "
+            f"{grid_size}x{grid_size} patch grid after {prefix_tokens} "
+            "prefix tokens")
+    return prefix_tokens
+
+
+def rollout_cam(headmean_stack, grid_size, prefix_tokens=None):
     """predict.py:229-247: final joint cls->patch row, reshaped to the patch
     grid and normalized by its max.  Returns [B, g, g] in [0, 1].
 
     prefix_tokens: number of non-patch tokens to drop (cfg.num_tokens —
-    2 for distilled configs)."""
+    2 for distilled configs); None = inferred from the row length."""
     v = rollout_cls_row(headmean_stack)
-    mask = v[:, prefix_tokens:].reshape(v.shape[0], grid_size, grid_size)
+    p = _prefix(v.shape[-1], grid_size, prefix_tokens)
+    mask = v[:, p:].reshape(v.shape[0], grid_size, grid_size)
     return mask / jnp.max(mask, axis=(1, 2), keepdims=True)
 
 
-def cam_from_rollout_row(rollout_row, grid_size, prefix_tokens: int = 1):
+def cam_from_rollout_row(rollout_row, grid_size, prefix_tokens=None):
     """Final joint cls->patch row (the model's fused in-scan rollout carry) to
-    a max-normalized CAM grid (predict.py:229-247).  [B, N] -> [B, g, g]."""
-    m = rollout_row[:, prefix_tokens:].reshape(
+    a max-normalized CAM grid (predict.py:229-247).  [B, N] -> [B, g, g].
+    prefix_tokens None = inferred (handles distilled rows)."""
+    p = _prefix(rollout_row.shape[-1], grid_size, prefix_tokens)
+    m = rollout_row[:, p:].reshape(
         rollout_row.shape[0], grid_size, grid_size)
     return m / jnp.max(m, axis=(1, 2), keepdims=True)
 
 
-def per_block_cams(cls_rows, grid_size, prefix_tokens: int = 1):
+def per_block_cams(cls_rows, grid_size, prefix_tokens=None):
     """predict.py:261-274: per-block aug cls rows, max-normalized per block.
-    cls_rows: [L, B, N] -> [L, B, g, g]."""
+    cls_rows: [L, B, N] -> [L, B, g, g].  prefix_tokens None = inferred."""
     aug0 = aug_cls_row(cls_rows)
-    m = aug0[..., prefix_tokens:]
+    p = _prefix(aug0.shape[-1], grid_size, prefix_tokens)
+    m = aug0[..., p:]
     m = m.reshape(*m.shape[:-1], grid_size, grid_size)
     return m / jnp.max(m, axis=(-1, -2), keepdims=True)
 
