@@ -187,8 +187,11 @@ def main():
     calib, _ = make_batch(777, 16)
     scales = calibrate_act_scales(pbf, bf, calib)
     pq = quantize_params(pbf, act_scales=scales)
-    rows.append(eval_mode("int8_hifi (W8A8, float attention)", pq, bf,
-                          images, labels, truth, seg_gt))
+    # int8_hifi ships with output-only int8 attention I/O (float probs,
+    # kernel emits int8 for the proj GEMM) — measure the shipped graph
+    rows.append(eval_mode("int8_hifi (W8A8, float attention)", pq,
+                          bf.replace(int8_attn_out=True), images, labels,
+                          truth, seg_gt))
     rows.append(eval_mode("int8 + attn I/O per-head (default)", pq,
                           bf.replace(int8_attn_io=True), images, labels,
                           truth, seg_gt))
