@@ -8,6 +8,7 @@ microbenchmarks over-estimate stages that XLA fuses or overlaps in-model.
 
   python scripts/profile_serving.py [--batch N] [--trace-dir DIR]
                                     [--train] [--model NAME] [--ln-quant]
+                                    [--serving {bf16,int8,int8_hifi}]
 
 --train profiles the fine-tune step (bf16 + Pallas fwd/bwd kernels + remat,
 the bench.py --train config) instead of the int8 serving forward — the
@@ -79,7 +80,9 @@ def main():
         calib = jax.random.normal(jax.random.key(7),
                                   (8, cfg.img_size, cfg.img_size, 3),
                                   jnp.float32)
-        params, cfg = serving.apply_serving_mode(params, cfg, "int8", calib)
+        mode = sys.argv[sys.argv.index("--serving") + 1] \
+            if "--serving" in sys.argv else "int8"
+        params, cfg = serving.apply_serving_mode(params, cfg, mode, calib)
         if "--ln-quant" in sys.argv:
             cfg = cfg.replace(ln_quant_fusion=True)
 
