@@ -124,12 +124,15 @@ def build_cfg(argv, model=None):
     use_int8 = ("--int8" in argv or "--int8-hifi" in argv
                 or not ("--bf16" in argv or "--f32" in argv))
     # --int8-hifi == serving mode "int8_hifi": W8A8 GEMMs, float attention
-    # core (same graph as --no-int8-attn; named for the serving API) —
-    # the kernel still emits its OUTPUT int8 for the proj GEMM
+    # core, kernel emits its OUTPUT int8 for the proj GEMM.  --no-int8-attn
+    # stays a pure ablation flag: int8 GEMMs with the attention kernel
+    # fully float and the proj input quantized OUTSIDE the kernel (the
+    # round-2 3 856 / round-3 3 829 graph), so the old rows remain
+    # reproducible.
     hifi = "--int8-hifi" in argv or "--no-int8-attn" in argv
     if use_int8 and not hifi:
         cfg = cfg.replace(int8_attn_io=True)
-    elif use_int8 and hifi:
+    elif "--int8-hifi" in argv:
         cfg = cfg.replace(int8_attn_out=True)
     if "--int8-attn" in argv:
         cfg = cfg.replace(int8_attn_io=True)

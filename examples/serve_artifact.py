@@ -79,7 +79,10 @@ def main(argv=None):
         raise SystemExit(f"no images match {args.images}")
     os.makedirs(args.out, exist_ok=True)
 
-    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    # preprocessing contract from the sidecar (ImageNet stats fallback for
+    # artifacts exported before mean/std were recorded)
+    mean = tuple(meta.get("mean", (0.485, 0.456, 0.406)))
+    std = tuple(meta.get("std", (0.229, 0.224, 0.225)))
     done = 0
     for lo in range(0, len(paths), batch):
         chunk = paths[lo:lo + batch]

@@ -80,8 +80,14 @@ def main():
         calib = jax.random.normal(jax.random.key(7),
                                   (8, cfg.img_size, cfg.img_size, 3),
                                   jnp.float32)
-        mode = sys.argv[sys.argv.index("--serving") + 1] \
-            if "--serving" in sys.argv else "int8"
+        mode = "int8"
+        if "--serving" in sys.argv:
+            i = sys.argv.index("--serving")
+            if i + 1 >= len(sys.argv) \
+                    or sys.argv[i + 1] not in serving.SERVING_MODES:
+                raise SystemExit(
+                    f"--serving needs one of {serving.SERVING_MODES}")
+            mode = sys.argv[i + 1]
         params, cfg = serving.apply_serving_mode(params, cfg, mode, calib)
         if "--ln-quant" in sys.argv:
             cfg = cfg.replace(ln_quant_fusion=True)

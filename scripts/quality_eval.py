@@ -189,7 +189,7 @@ def main():
     pq = quantize_params(pbf, act_scales=scales)
     # int8_hifi ships with output-only int8 attention I/O (float probs,
     # kernel emits int8 for the proj GEMM) — measure the shipped graph
-    rows.append(eval_mode("int8_hifi (W8A8, float attention)", pq,
+    rows.append(eval_mode("int8_hifi (W8A8, float attn, int8-OUT)", pq,
                           bf.replace(int8_attn_out=True), images, labels,
                           truth, seg_gt))
     rows.append(eval_mode("int8 + attn I/O per-head (default)", pq,

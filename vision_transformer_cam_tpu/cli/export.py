@@ -182,6 +182,10 @@ def main(argv=None) -> str:
             "platforms": list(exported.platforms),
             "calibration": calib_provenance,
             "input": "float32 [batch, H, W, 3], ImageNet-normalized",
+            # machine-readable preprocessing contract (consumers like
+            # examples/serve_artifact.py read these instead of assuming)
+            "mean": list(configs.DataConfig.mean),
+            "std": list(configs.DataConfig.std),
             "outputs": "(logits, head1_logits" +
                        (", cam [batch, grid, grid])" if not args.no_cam
                         else ")")}

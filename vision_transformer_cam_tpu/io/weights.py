@@ -187,7 +187,14 @@ def load_weights(path: str, cfg: ViTCAMConfig, params: Optional[dict] = None,
     DIRECTORY as written by cli.train — so validate/predict/export can point
     straight at `<ckpt_dir>/<tag>` without an .npz conversion step.  For a
     checkpoint directory the params subtree of the full train state is
-    returned (optimizer moments and step are dropped)."""
+    returned (optimizer moments and step are dropped).
+
+    `params`/`del_keys` (the reference's head-key surgery,
+    train_and_validate.py:111-119) apply to .pth ONLY: reference-format
+    pretrained checkpoints can lack/mismatch the task heads, so those keys
+    are dropped and backfilled from `params`.  orbax/.npz containers are
+    this framework's own trees — written with the heads they trained — so
+    they load verbatim."""
     if os.path.isdir(path):
         import jax
         import jax.numpy as jnp

@@ -80,7 +80,10 @@ def _prefix(row_len: int, grid_size: int, prefix_tokens) -> int:
     (bench/validate/predict/export all hit this)."""
     if prefix_tokens is None:
         prefix_tokens = row_len - grid_size * grid_size
-    if not 0 <= prefix_tokens <= row_len - grid_size * grid_size:
+    # exact fit required in BOTH directions — an explicit prefix that
+    # under-consumes (e.g. 1 on a distilled cls+dist row) must raise here,
+    # not as an opaque reshape error downstream
+    if prefix_tokens < 0 or prefix_tokens != row_len - grid_size * grid_size:
         raise ValueError(
             f"rollout row of length {row_len} does not hold a "
             f"{grid_size}x{grid_size} patch grid after {prefix_tokens} "
