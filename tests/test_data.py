@@ -155,6 +155,35 @@ def test_batch_loader_process_sharding():
     assert sorted(seen) == [str(i) for i in range(8)]
 
 
+def test_batch_loader_dataset_smaller_than_processes():
+    """A dataset SMALLER than process_count must still give every host the
+    same number of (wrapped) samples — unequal stripes deadlock the
+    collective train step (review finding: idx[:total-n] under-filled,
+    np.resize cycles)."""
+    class FakeDataset:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return {"name": str(i), "image": np.zeros((2, 2, 3), np.float32)}
+
+    from vision_transformer_cam_tpu.data.loader import BatchLoader
+    loaders = [BatchLoader(FakeDataset(), batch_size=1, shuffle=False,
+                           process_index=pi, process_count=8)
+               for pi in range(8)]
+    lens = [len(dl) for dl in loaders]
+    assert lens == [1] * 8
+    names, pad_flags = [], []
+    for dl in loaders:
+        for b in dl:
+            names += list(b["name"])
+            pad_flags += list(b["is_pad"])
+    assert len(names) == 8
+    # each real sample appears, and exactly 3 entries are counted (unpadded)
+    assert sorted(set(names)) == ["0", "1", "2"]
+    assert sum(not p for p in pad_flags) == 3
+
+
 def test_native_loader_matches_pil(tmp_path):
     """Native C++ decode+resize+normalize vs the PIL path: within one uint8
     quantization level (PIL resizes with 8-bit fixed-point coefficients)."""

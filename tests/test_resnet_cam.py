@@ -11,6 +11,130 @@ import jax  # noqa: E402
 from vision_transformer_cam_tpu.models import resnet  # noqa: E402
 
 
+def _t(w_hwio):
+    """HWIO -> torch OIHW tensor."""
+    import torch
+    return torch.tensor(np.asarray(w_hwio, np.float32).transpose(3, 2, 0, 1))
+
+
+def _t_bn(x, p):
+    import torch
+    import torch.nn.functional as F
+    t = lambda a: torch.tensor(np.asarray(a, np.float32))  # noqa: E731
+    return F.batch_norm(x, t(p["mean"]), t(p["var"]), t(p["scale"]),
+                        t(p["bias"]), training=False, eps=1e-5)
+
+
+def test_resnet_matches_torch_functional():
+    """Full-forward parity with torch's padding semantics (Conv2d pads
+    symmetrically by (k-1)//2; MaxPool2d(3,2,1)) at an EVEN input size —
+    XLA 'SAME' pads stride-2 windows asymmetrically exactly at even sizes
+    ((2,3) for the 7x7/s2 stem on 64; verified: at odd sizes the two
+    coincide), shifting every window vs the torchvision weights' layout
+    (review finding — shape tests alone cannot catch it)."""
+    import torch
+    import torch.nn.functional as F
+    params = resnet.init(jax.random.key(0), num_classes=5)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    logits, feats = resnet.apply(params, jnp.asarray(x))
+
+    y = torch.tensor(x.transpose(0, 3, 1, 2))
+    y = F.relu(_t_bn(F.conv2d(y, _t(params["stem"]["conv"]), stride=2,
+                              padding=3), params["stem"]["bn"]))
+    y = F.max_pool2d(y, 3, 2, padding=1)
+    for si, stage in enumerate(params["stages"]):
+        for bi, blk in enumerate(stage):
+            stride = 2 if (si > 0 and bi == 0) else 1
+            sc = _t_bn(F.conv2d(y, _t(blk["down"]["conv"]), stride=stride),
+                       blk["down"]["bn"]) if "down" in blk else y
+            h = F.relu(_t_bn(F.conv2d(y, _t(blk["conv1"]), stride=stride,
+                                      padding=1), blk["bn1"]))
+            h = _t_bn(F.conv2d(h, _t(blk["conv2"]), padding=1), blk["bn2"])
+            y = F.relu(h + sc)
+    ref_feats = y.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(feats), ref_feats,
+                               atol=1e-3, rtol=1e-3)
+    ref_logits = ref_feats.mean((1, 2)) @ np.asarray(params["fc"]["kernel"]) \
+        + np.asarray(params["fc"]["bias"])
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_squeezenet_matches_torch_functional():
+    """squeezenet1_1 parity incl. MaxPool2d(3,2,ceil_mode=True) at a size
+    where ceil and floor mode DIFFER (review finding): 118 -> stem 58 ->
+    first pool floor 28 vs ceil 29."""
+    import torch
+    import torch.nn.functional as F
+    from vision_transformer_cam_tpu.models import squeezenet
+    params = squeezenet.init(jax.random.key(0), num_classes=5)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 118, 118, 3)).astype(np.float32)
+    logits, feats = squeezenet.apply(params, jnp.asarray(x))
+
+    tb = lambda p: torch.tensor(np.asarray(p, np.float32))  # noqa: E731
+    y = torch.tensor(x.transpose(0, 3, 1, 2))
+    y = F.relu(F.conv2d(y, _t(params["stem"]["kernel"]), stride=2)
+               + tb(params["stem"]["bias"]).view(1, -1, 1, 1))
+    for i, fire in enumerate(params["fires"]):
+        if i in squeezenet.POOL_BEFORE:
+            y = F.max_pool2d(y, 3, 2, ceil_mode=True)
+        s = F.relu(F.conv2d(y, _t(fire["squeeze"]["kernel"]))
+                   + tb(fire["squeeze"]["bias"]).view(1, -1, 1, 1))
+        e1 = F.relu(F.conv2d(s, _t(fire["expand1"]["kernel"]))
+                    + tb(fire["expand1"]["bias"]).view(1, -1, 1, 1))
+        e3 = F.relu(F.conv2d(s, _t(fire["expand3"]["kernel"]), padding=1)
+                    + tb(fire["expand3"]["bias"]).view(1, -1, 1, 1))
+        y = torch.cat([e1, e3], dim=1)
+    ref_feats = y.numpy().transpose(0, 2, 3, 1)
+    assert feats.shape == ref_feats.shape  # ceil-mode grid
+    np.testing.assert_allclose(np.asarray(feats), ref_feats,
+                               atol=1e-3, rtol=1e-3)
+    cls = F.relu(F.conv2d(y, _t(params["classifier"]["kernel"]))
+                 + tb(params["classifier"]["bias"]).view(1, -1, 1, 1))
+    np.testing.assert_allclose(np.asarray(logits),
+                               cls.numpy().mean((2, 3)),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_densenet_matches_torch_functional():
+    """densenet parity (stem 7x7/s2 pad 3, maxpool 3/2/1, dense layers,
+    avgpool transitions, pre-relu norm5 hook) at an even input size (where
+    'SAME' would diverge — see the resnet test)."""
+    import torch
+    import torch.nn.functional as F
+    from vision_transformer_cam_tpu.models import densenet
+    params = densenet.init(jax.random.key(0), num_classes=4, growth=8,
+                           blocks=(2, 3), init_features=16)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    logits, feats = densenet.apply(params, jnp.asarray(x))
+
+    y = torch.tensor(x.transpose(0, 3, 1, 2))
+    y = F.relu(_t_bn(F.conv2d(y, _t(params["stem"]["conv"]), stride=2,
+                              padding=3), params["stem"]["bn"]))
+    y = F.max_pool2d(y, 3, 2, padding=1)
+    for bi, block in enumerate(params["blocks"]):
+        for layer in block:
+            h = F.conv2d(F.relu(_t_bn(y, layer["bn1"])), _t(layer["conv1"]))
+            h = F.conv2d(F.relu(_t_bn(h, layer["bn2"])), _t(layer["conv2"]),
+                         padding=1)
+            y = torch.cat([y, h], dim=1)
+        if bi < len(params["transitions"]):
+            t = params["transitions"][bi]
+            y = F.conv2d(F.relu(_t_bn(y, t["bn"])), _t(t["conv"]))
+            y = F.avg_pool2d(y, 2, 2)
+    ref_feats = _t_bn(y, params["norm5"]).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(feats), ref_feats,
+                               atol=1e-3, rtol=1e-3)
+    ref_logits = np.maximum(ref_feats, 0).mean((1, 2)) \
+        @ np.asarray(params["classifier"]["kernel"]) \
+        + np.asarray(params["classifier"]["bias"])
+    np.testing.assert_allclose(np.asarray(logits), ref_logits,
+                               atol=1e-3, rtol=1e-3)
+
+
 def test_resnet_forward_shapes():
     params = resnet.init(jax.random.key(0), num_classes=10)
     x = jnp.zeros((2, 64, 64, 3))

@@ -133,7 +133,10 @@ def compose_pseudo_seg(patch_to_cls: np.ndarray, cos_maps: np.ndarray,
     bg = bg_up >= pcfg.bg_rollout_threshold                         # :244-246
     seg = patch_to_cls.astype(np.int64)[winner] + 1                 # :190-208
     seg = seg * fg * bg                                             # :248-257
-    return seg.astype(np.uint8)
+    # uint8 is the palette-PNG contract (VOC: ids <= 2*20+K+2); filler ids
+    # from a num_classes large enough to overflow it would WRAP into
+    # valid-looking foreground classes — keep int64 there instead
+    return seg.astype(np.uint8) if seg.max(initial=0) < 256 else seg
 
 
 def pseudo_seg_batch(out: vit.ViTCAMOutput, cfg: ViTCAMConfig,

@@ -80,6 +80,9 @@ def render_origin_cams(cams: np.ndarray, labels: np.ndarray,
             path = os.path.join(image_dir, names[i] + ".jpg")
             if _HAVE_CV2:
                 img = cv2.imread(path)
+                if img is None:  # cv2 returns None instead of raising
+                    raise FileNotFoundError(
+                        f"cv2 could not read image: {path}")
             else:
                 from PIL import Image
                 img = np.asarray(Image.open(path).convert("RGB"))[..., ::-1]

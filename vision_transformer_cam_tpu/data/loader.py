@@ -68,7 +68,11 @@ class BatchLoader:
         is_pad = np.zeros(n, bool)
         if self.process_count > 1:
             total = -(-n // self.process_count) * self.process_count
-            idx = np.concatenate([idx, idx[:total - n]])
+            # np.resize cycles the permutation, so datasets SMALLER than
+            # process_count still fill the stripe (idx[:total-n] would
+            # under-fill there — unequal per-host step counts deadlock the
+            # collective train step; review finding)
+            idx = np.concatenate([idx, np.resize(idx, total - n)])
             is_pad = np.concatenate([is_pad, np.ones(total - n, bool)])
             idx = idx[self.process_index::self.process_count]
             is_pad = is_pad[self.process_index::self.process_count]

@@ -23,8 +23,12 @@ BLOCKS_161 = (6, 12, 36, 24)
 
 
 def _conv(x, w, stride=1):
+    # symmetric torch-style (k-1)//2 padding — XLA "SAME" pads
+    # asymmetrically at stride 2, shifting windows one pixel vs the
+    # torchvision weights' layout (see models/resnet.py._conv)
+    ph, pw = (w.shape[0] - 1) // 2, (w.shape[1] - 1) // 2
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), "SAME",
+        x, w, (stride, stride), [(ph, ph), (pw, pw)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -80,8 +84,10 @@ def apply(params, x):
     x = x.astype(params["stem"]["conv"].dtype)
     y = jax.nn.relu(_bn(_conv(x, params["stem"]["conv"], 2),
                         params["stem"]["bn"]))
+    # torch MaxPool2d(3, 2, padding=1): symmetric, vs SAME's (0,1)
     y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), "SAME")
+                              (1, 2, 2, 1),
+                              [(0, 0), (1, 1), (1, 1), (0, 0)])
     for bi, block in enumerate(params["blocks"]):
         for layer in block:
             h = _conv(jax.nn.relu(_bn(y, layer["bn1"])), layer["conv1"])

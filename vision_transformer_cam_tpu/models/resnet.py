@@ -20,8 +20,13 @@ WIDTHS = (64, 128, 256, 512)
 
 
 def _conv(x, w, stride=1):
+    # torch Conv2d pads symmetrically by (k-1)//2; XLA "SAME" pads
+    # asymmetrically at stride 2 (e.g. (2,3) for the 7x7/s2 stem), which
+    # shifts every window one pixel vs the torchvision weights' training
+    # layout (review finding) — pad explicitly like torch
+    ph, pw = (w.shape[0] - 1) // 2, (w.shape[1] - 1) // 2
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), "SAME",
+        x, w, (stride, stride), [(ph, ph), (pw, pw)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -73,8 +78,10 @@ def apply(params, x):
     x = x.astype(params["stem"]["conv"].dtype)
     y = _conv(x, params["stem"]["conv"], 2)
     y = jax.nn.relu(_bn(y, params["stem"]["bn"]))
+    # torch MaxPool2d(3, 2, padding=1): symmetric, vs SAME's (0,1)
     y = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), "SAME")
+                              (1, 2, 2, 1),
+                              [(0, 0), (1, 1), (1, 1), (0, 0)])
     for si, stage in enumerate(params["stages"]):
         for bi, blk in enumerate(stage):
             stride = 2 if (si > 0 and bi == 0) else 1

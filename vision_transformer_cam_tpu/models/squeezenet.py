@@ -30,8 +30,19 @@ def _conv(x, w, b, stride=1, padding="SAME"):
 
 
 def _maxpool(x):
+    # torchvision squeezenet1_1: MaxPool2d(3, 2, ceil_mode=True) — the last
+    # window may hang off the bottom/right edge as long as it STARTS in
+    # bounds.  VALID (floor mode) coincides at 224 input but drops a row/
+    # column of windows at other sizes (review finding); pad bottom/right
+    # with -inf to realize exactly the ceil-mode output grid.
+    h, w = x.shape[1], x.shape[2]
+    out_h = -(-(h - 3) // 2) + 1
+    out_w = -(-(w - 3) // 2) + 1
+    ph = max(0, (out_h - 1) * 2 + 3 - h)
+    pw = max(0, (out_w - 1) * 2 + 3 - w)
     return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                                 (1, 2, 2, 1), "VALID")
+                                 (1, 2, 2, 1),
+                                 [(0, 0), (0, ph), (0, pw), (0, 0)])
 
 
 def init(key, num_classes: int = 1000, dtype=jnp.float32):

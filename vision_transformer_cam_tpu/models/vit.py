@@ -285,9 +285,8 @@ def _mask_from_cls_row(cls_row, cfg: ViTCAMConfig):
     and the bg indicator (vit_model.py:329-349).  Prefix tokens (cls, and
     dist when distilled) are never background and are excluded from the
     patch-weight map."""
-    aug0 = cls_row.at[:, 0].add(1.0)
-    aug0 = aug0 / jnp.sum(aug0, axis=-1, keepdims=True)
-    mask_i = aug0[:, cfg.num_tokens:]              # [B, num_patches]
+    from vision_transformer_cam_tpu.ops.rollout import aug_cls_row
+    mask_i = aug_cls_row(cls_row)[:, cfg.num_tokens:]   # [B, num_patches]
     if cfg.per_sample_mask_norm:
         mask14 = mask_i / jnp.max(mask_i, axis=-1, keepdims=True)
     else:
@@ -503,8 +502,9 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             if newj is not None:      # kernel-fused rollout update
                 joint = newj
             else:
-                aug = hm + jnp.eye(n, dtype=hm.dtype)
-                aug = aug / jnp.sum(aug, axis=-1, keepdims=True)
+                from vision_transformer_cam_tpu.ops.rollout import (
+                    aug_normalize)
+                aug = aug_normalize(hm)
                 joint = jnp.einsum(
                     "bij,bjk->bik", aug, joint,
                     preferred_element_type=jnp.promote_types(
