@@ -6,6 +6,7 @@ import pytest
 
 jnp = pytest.importorskip("jax.numpy")
 import jax  # noqa: E402
+import optax  # noqa: E402
 
 from vision_transformer_cam_tpu import configs  # noqa: E402
 from vision_transformer_cam_tpu.models import vit  # noqa: E402
@@ -149,6 +150,56 @@ def test_freeze_backbone_only_heads_move():
     # pos_embed / cls_token are frozen too (reference freeze loop semantics)
     np.testing.assert_array_equal(np.asarray(st2.params["pos_embed"]),
                                   before["pos_embed"])
+
+
+def test_freeze_keeps_distilled_head_trainable():
+    """The reference freeze is a SUBSTRING test ('head' not in name,
+    train_and_validate.py:134), so head_dist — whose loss term exists so it
+    trains — must stay trainable (review finding: exact-key matching froze
+    it while its logits were still averaged into eval)."""
+    cfg = TINY.replace(distilled=True)
+    params = vit.init(cfg, jax.random.key(0))
+    mask = statelib.trainable_mask(params, freeze_backbone=True)
+    assert mask["head_dist"]["kernel"] is True
+    assert mask["head"]["kernel"] is True
+    assert mask["dist_token"] is False
+    assert mask["blocks"]["mlp"]["fc1"]["kernel"] is False
+
+
+def test_weight_decay_filtering_matches_timm():
+    """timm create_optimizer (filter_bias_and_bn=True, the reference
+    default) exempts every ndim<=1 param — biases and LN scales — from
+    weight decay; the reference model defines no no_weight_decay(), so
+    pos_embed/cls_token DO decay.  With zero gradients, one adamw step must
+    leave exempt params exactly unchanged and shrink decayed ones."""
+    params = vit.init(TINY, jax.random.key(0))
+    wd = statelib.weight_decay_mask(params)
+    assert wd["head"]["kernel"] is True
+    assert wd["head"]["bias"] is False
+    assert wd["blocks"]["ln1"]["scale"] is False
+    assert wd["blocks"]["ln1"]["bias"] is False
+    assert wd["norm"]["scale"] is False
+    assert wd["blocks"]["attn"]["qkv"]["bias"] is False
+    assert wd["pos_embed"] is True and wd["cls_token"] is True
+
+    tx, _ = statelib.make_optimizer(
+        configs.OptimConfig(lr=1e-2, weight_decay=0.1, warmup_epochs=0,
+                            epochs=10, linear_lr_scaling=False),
+        global_batch_size=4, steps_per_epoch=1)
+    st = statelib.create_train_state(params, tx)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, st.opt_state, params)
+    new = optax.apply_updates(params, updates)
+    # exempt: bit-identical under zero grads
+    np.testing.assert_array_equal(np.asarray(new["head"]["bias"]),
+                                  np.asarray(params["head"]["bias"]))
+    np.testing.assert_array_equal(np.asarray(new["blocks"]["ln1"]["scale"]),
+                                  np.asarray(params["blocks"]["ln1"]["scale"]))
+    # decayed: strictly shrunk toward zero
+    assert float(jnp.sum(jnp.abs(new["head"]["kernel"]))) \
+        < float(jnp.sum(jnp.abs(params["head"]["kernel"])))
+    assert float(jnp.sum(jnp.abs(new["pos_embed"]))) \
+        < float(jnp.sum(jnp.abs(params["pos_embed"])))
 
 
 def test_topk_by_label_count_matches_reference_semantics():

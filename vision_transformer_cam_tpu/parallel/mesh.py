@@ -33,12 +33,25 @@ def distributed_init() -> None:
     # Check the env FIRST: jax.process_count() would initialize the local
     # PJRT backend, after which jax.distributed.initialize() cannot set up
     # the DCN rendezvous any more (advisor finding, round 1).
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
+    # Cluster hints beyond an explicit coordinator (review finding — the
+    # docstring promised SLURM/pod detection): a multi-task SLURM job, or
+    # Cloud TPU pod metadata env — jax.distributed.initialize() resolves
+    # the coordinator itself for those.
+    explicit = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    slurm = int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+    tpu_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES")
+                   or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if explicit or slurm or tpu_pod:
         try:
             jax.distributed.initialize()
         except RuntimeError:
             pass  # already initialized (e.g. by the launcher)
+        except Exception as e:  # hint present but detection failed: say so
+            import sys
+            print(f"distributed_init: cluster env detected but "
+                  f"jax.distributed.initialize() failed ({e}); continuing "
+                  "single-process", file=sys.stderr)
 
 
 def make_mesh(shape: Tuple[int, ...] = (-1,),

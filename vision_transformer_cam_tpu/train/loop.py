@@ -53,6 +53,11 @@ def train_one_epoch(state, loader, rng, cfg, tx, mesh, epoch, log_every=50):
         state, metrics = train_step(state, batch["image"], batch["label"],
                                     rng, cfg, tx)
         steps += 1
+        # Per-step device->host sync, deliberately: the reference reads
+        # loss.item() every step for the SAME per-step non-finite abort and
+        # tqdm line (utils.py:174-198), so deferring this would change
+        # failure-detection latency.  Throughput measurement lives in
+        # bench.py --train, which chains steps without this sync.
         host = {k: float(v) for k, v in jax.device_get(metrics).items()}
         if not np.isfinite(host["loss"]):
             # utils.py:196-198: non-finite loss aborts training.
@@ -166,7 +171,11 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
     tx, schedule = make_optimizer(
         train_cfg.optim, train_cfg.batch_size, max(len(loader), 1),
         freeze_mask=mask if train_cfg.freeze_backbone else None)
-    params = meshlib.shard_params(mesh, init_params)
+    # honor a 'model' mesh axis: tensor-parallel params over heads/MLP
+    # (without this the axis silently duplicated work — review finding)
+    model_axis = "model" if "model" in mesh.axis_names \
+        and mesh.shape["model"] > 1 else None
+    params = meshlib.shard_params(mesh, init_params, model_axis=model_axis)
     state = create_train_state(params, tx)
     if resume:
         tag = ckptlib.latest_tag(train_cfg.ckpt_dir)

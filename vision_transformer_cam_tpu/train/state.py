@@ -21,21 +21,47 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-_TRAINABLE_WHEN_FROZEN = ("head", "head1", "pre_logits")
+_TRAINABLE_WHEN_FROZEN = ("head", "pre_logits")
+
+
+def _path_keys(path):
+    return [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
 
 
 def trainable_mask(params, freeze_backbone: bool):
     """Reference freeze (train_and_validate.py:130-137): every param whose
-    name lacks 'head'/'pre_logits' stops training.  NB 'head1' contains
-    'head', so the top-16 patch head stays trainable there too — preserved.
-    """
+    name lacks 'head'/'pre_logits' stops training.  The reference test is a
+    SUBSTRING match, so 'head1' (the top-16 patch head) and 'head_dist'
+    (the distilled head — whose loss term exists precisely so it trains)
+    both stay trainable; exact-key matching froze head_dist (review
+    finding)."""
     def mask(path, _):
         if not freeze_backbone:
             return True
-        keys = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
-        return any(k in _TRAINABLE_WHEN_FROZEN for k in keys)
+        return any(t in k for k in _path_keys(path)
+                   for t in _TRAINABLE_WHEN_FROZEN)
 
     return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def weight_decay_mask(params):
+    """timm `create_optimizer` parity (train_and_validate.py:150):
+    `filter_bias_and_bn=True` (the default) exempts every param with
+    ndim <= 1 — all biases and LayerNorm scales — from weight decay.  (The
+    reference model defines no `no_weight_decay()`, so pos_embed/cls_token
+    DO decay there, and therefore here.)  Our block params are scan-stacked
+    [L, ...], so the rule is applied by NAME, matching what ndim<=1 selects
+    on the reference's unstacked tree."""
+    def decays(path, _):
+        keys = _path_keys(path)
+        if keys[-1] == "bias":
+            return False
+        if keys[-1] == "scale" and any(
+                k.startswith("ln") or k == "norm" for k in keys):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decays, params)
 
 
 def make_optimizer(cfg: OptimConfig, global_batch_size: int,
@@ -50,7 +76,8 @@ def make_optimizer(cfg: OptimConfig, global_batch_size: int,
         chain.append(optax.clip_by_global_norm(cfg.clip_grad))
     chain.append(optax.adamw(
         learning_rate=schedule, b1=cfg.betas[0], b2=cfg.betas[1],
-        eps=cfg.opt_eps, weight_decay=cfg.weight_decay))
+        eps=cfg.opt_eps, weight_decay=cfg.weight_decay,
+        mask=weight_decay_mask))
     tx = optax.chain(*chain)
     if freeze_mask is not None:
         # Mask must zero the FINAL updates (after adamw), or weight decay
