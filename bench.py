@@ -67,6 +67,32 @@ def bench_train(batch, dtype):
     }))
 
 
+_FLAGS = {"--gelu-exact", "--stable-softmax", "--mlp-fusion", "--int8-fused",
+          "--rollout-post", "--rollout-carry", "--ln-quant", "--int8",
+          "--int8-hifi", "--bf16", "--f32", "--xla", "--no-int8-attn",
+          "--int8-attn", "--int8-dynamic", "--no-cam", "--latency",
+          "--train"}
+_VALUE_FLAGS = {"--block-b", "--q-block", "--batch", "--model"}
+
+
+def _check_flags(argv):
+    """Reject unknown/misspelled flags and value flags missing their value —
+    silently ignoring a typo'd ablation flag benchmarks the WRONG config and
+    the JSON line looks legitimate (review finding)."""
+    i = 1
+    while i < len(argv):
+        tok = argv[i]
+        if tok in _VALUE_FLAGS:
+            if i + 1 >= len(argv):
+                raise SystemExit(f"bench.py: {tok} needs a value")
+            i += 2
+            continue
+        if tok.startswith("--") and tok not in _FLAGS:
+            raise SystemExit(f"bench.py: unknown flag {tok!r} (known: "
+                             f"{sorted(_FLAGS | _VALUE_FLAGS)})")
+        i += 1
+
+
 def build_cfg(argv, model=None):
     """Bench config from ablation flags.  Deliberately NOT routed through
     serving.apply_serving_mode — bench is the ablation surface, so every
@@ -83,6 +109,7 @@ def build_cfg(argv, model=None):
     """
     from vision_transformer_cam_tpu import configs
 
+    _check_flags(argv)
     if model is None:
         model = argv[argv.index("--model") + 1] \
             if "--model" in argv else "vit_base_patch16_224_in21k"
@@ -143,6 +170,7 @@ def main():
     from vision_transformer_cam_tpu.models import vit
     from vision_transformer_cam_tpu.ops import rollout
 
+    _check_flags(sys.argv)
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
         if "--batch" in sys.argv else 512
     dtype = jnp.float32 if "--f32" in sys.argv else jnp.bfloat16

@@ -156,13 +156,21 @@ void resize_normalize(const uint8_t* rgb, int w, int h, int out_size,
 extern "C" {
 
 // Decode one JPEG -> normalized float32 [out_size, out_size, 3].  0 on ok.
+// C++ exceptions (e.g. std::bad_alloc from a header claiming 65500x65500 —
+// ~12.8 GB of RGB) are converted to a failure return: an escaped exception
+// on a worker std::thread would std::terminate the whole host process
+// instead of being counted against the fail-count contract.
 int vitcam_decode_one(const uint8_t* jpeg, long len, int out_size,
                       const float* mean, const float* stdv, float* out) {
-  std::vector<uint8_t> rgb;
-  int w, h;
-  if (!decode_jpeg(jpeg, len, &rgb, &w, &h)) return 1;
-  resize_normalize(rgb.data(), w, h, out_size, mean, stdv, out);
-  return 0;
+  try {
+    std::vector<uint8_t> rgb;
+    int w, h;
+    if (!decode_jpeg(jpeg, len, &rgb, &w, &h)) return 1;
+    resize_normalize(rgb.data(), w, h, out_size, mean, stdv, out);
+    return 0;
+  } catch (...) {
+    return 1;
+  }
 }
 
 // Batch entry: n JPEG buffers -> [n, out_size, out_size, 3] float32,

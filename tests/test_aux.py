@@ -108,3 +108,29 @@ def test_same_seeds():
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(np.asarray(jax.random.key_data(k1)),
                                   np.asarray(jax.random.key_data(k2)))
+
+
+def test_distilled_state_dict_roundtrip():
+    """state_dict_from_pytree must export dist_token/head_dist so the
+    distilled round-trip closes (review finding: loaded but never
+    exported -> KeyError on reload with no init fallback)."""
+    cfg = configs.ViTCAMConfig(img_size=32, patch_size=8, embed_dim=64,
+                               depth=2, num_heads=4, num_classes=5,
+                               distilled=True)
+    params = vit.init(cfg, jax.random.key(0))
+    sd = wio.state_dict_from_pytree(params, cfg)
+    assert "dist_token" in sd and "head_dist.weight" in sd
+    back = wio.pytree_from_state_dict(sd, cfg, params=None, del_keys=())
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), params, back)
+
+
+def test_resolve_model_strict_with_alias():
+    """'vit_base' (the reference's --model_name value) resolves; unknown
+    names RAISE instead of silently running ViT-B (review finding)."""
+    assert configs.resolve_model("vit_base") \
+        is configs.MODEL_ZOO["vit_base_patch16_224_in21k"]
+    assert configs.resolve_model("vit_large_patch16_384") \
+        is configs.MODEL_ZOO["vit_large_patch16_384"]
+    with pytest.raises(SystemExit, match="unknown model_name"):
+        configs.resolve_model("vit_larg_patch16_384")

@@ -78,12 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
 def build_fn(args):
     """(fn(images), cfg, calib_provenance) with params baked in and serving
     mode applied."""
-    if args.model_name not in configs.MODEL_ZOO:
-        # no silent ViT-B fallback here (the sidecar would record the
-        # wrong model): a deployment artifact must be what it says it is
-        raise SystemExit(f"unknown --model_name {args.model_name!r}; "
-                         f"choose from {sorted(configs.MODEL_ZOO)}")
-    factory = configs.MODEL_ZOO[args.model_name]
+    # strict resolution (no silent ViT-B fallback — the sidecar would
+    # record the wrong model), with the reference's 'vit_base' alias
+    factory = configs.resolve_model(args.model_name)
     cfg = factory(num_classes=args.num_classes)
     cfg = cfg.replace(representation_size=None)
     if args.weights:

@@ -89,24 +89,29 @@ def render_grid(arts: dict, ori_img_bgr: np.ndarray, str_label: str,
 
     img_rgb = ori_img_bgr[..., ::-1]
     h, w = img_rgb.shape[:2]
-    plt.figure(figsize=(12, 14))
     n_blocks = arts["per_block_cams"].shape[0]
+    # 2 blocks (3 panels each) per 6-wide row + a final summary row: the
+    # reference's 7x6 at depth 12, scaled to any zoo depth (the hard-coded
+    # grid crashed matplotlib for ViT-L/H — review finding)
+    rows = -(-3 * n_blocks // 6) + 1
+    plt.figure(figsize=(12, 14 * rows / 7.0))
     for i in range(n_blocks):
-        plt.subplot(7, 6, 3 * i + 1)
+        plt.subplot(rows, 6, 3 * i + 1)
         plt.imshow(arts["token_sim"][i])
         plt.xticks([]); plt.yticks([])
-        plt.subplot(7, 6, 3 * i + 2)
+        plt.subplot(rows, 6, 3 * i + 2)
         plt.imshow(arts["per_block_cams"][i])
         plt.xticks([]); plt.yticks([])
-        plt.subplot(7, 6, 3 * (i + 1))
+        plt.subplot(rows, 6, 3 * (i + 1))
         plt.imshow(img_rgb)
         up = np_bilinear_resize(arts["per_block_cams"][i], (h, w))
         plt.imshow((up * 255).astype(np.uint8), alpha=0.4, cmap="rainbow")
         plt.xticks([]); plt.yticks([])
-    plt.subplot(7, 6, 39)
+    base = (rows - 1) * 6
+    plt.subplot(rows, 6, base + 3)
     plt.imshow(img_rgb)
     plt.xticks([]); plt.yticks([])
-    plt.subplot(7, 6, 42)
+    plt.subplot(rows, 6, base + 6)
     plt.imshow(img_rgb)
     up = np_bilinear_resize(arts["rollout_cam"], (h, w))
     plt.imshow(up * 255, alpha=0.4, cmap="rainbow")
@@ -124,8 +129,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
 
-    factory = configs.MODEL_ZOO.get(args.model_name,
-                                    configs.vit_base_patch16_224_in21k)
+    factory = configs.resolve_model(args.model_name)
     cfg = factory(num_classes=args.num_classes)
     cfg = cfg.replace(representation_size=None)  # has_logits=False
     impl = args.attn_impl

@@ -10,6 +10,7 @@ SURVEY.md §2.3).
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 
@@ -40,7 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cooldown_epochs", type=int, default=10)
     p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--weights", type=str, default="",
-                   help="pretrained .pth/.npz; head keys dropped on load")
+                   help="pretrained .pth (head keys dropped on load, "
+                        "train_and_validate.py:111-119) / native .npz / "
+                        "orbax checkpoint dir (loaded verbatim)")
     p.add_argument("--freeze_layers", action="store_true")
     p.add_argument("--syncBN", action="store_true",
                    help="accepted for parity; no-op (model has no BN)")
@@ -100,12 +103,16 @@ def main(argv=None):
 
     init_params = None
     if args.weights:
-        # pretrained load with head-key surgery (train_and_validate.py:111-119)
-        base = vit.init(model_cfg, jax.random.key(args.seed))
-        init_params = wio.load_npz(args.weights) \
-            if args.weights.endswith(".npz") else wio.load_pth(
-                args.weights, model_cfg, params=base,
-                del_keys=wio.PRETRAIN_DEL_KEYS)
+        # one dispatch for every container (.pth / .npz / orbax dir, like
+        # validate/predict/export — review finding: the hand-rolled branch
+        # here crashed on orbax dirs).  Head-key surgery
+        # (train_and_validate.py:111-119) applies to reference-format .pth
+        # pretrained checkpoints; native containers load verbatim.
+        base = vit.init(model_cfg, jax.random.key(args.seed)) \
+            if not args.weights.endswith(".npz") \
+            and not os.path.isdir(args.weights) else None
+        init_params = wio.load_weights(args.weights, model_cfg, params=base,
+                                       del_keys=wio.PRETRAIN_DEL_KEYS)
 
     return looplib.fit(model_cfg, train_cfg, train_data, val_data,
                        init_params=init_params, epochs=args.epochs,

@@ -83,8 +83,7 @@ def val(args) -> dict:
     palette = load_palette_json(args.palette_json) if args.palette_json \
         else None
 
-    factory = configs.MODEL_ZOO.get(args.model_name,
-                                    configs.vit_base_patch16_224_in21k)
+    factory = configs.resolve_model(args.model_name)
     cfg = factory(num_classes=args.num_classes)
     cfg = cfg.replace(representation_size=None)  # has_logits=False
     impl = args.attn_impl

@@ -340,3 +340,19 @@ MODEL_ZOO = {
     "vit_large_patch32_224_in21k": vit_large_patch32_224_in21k,
     "vit_huge_patch14_224_in21k": vit_huge_patch14_224_in21k,
 }
+
+# the reference's --model_name value (train_and_validate.py:219) maps to
+# the one factory all three entries build (vit_model.py:462-476)
+MODEL_ALIASES = {"vit_base": "vit_base_patch16_224_in21k"}
+
+
+def resolve_model(name: str):
+    """Zoo factory for `name`, honoring the reference's 'vit_base' alias.
+    Unknown names RAISE — a silent ViT-B fallback ran (and reported metrics
+    for) the wrong architecture on a typo (review finding)."""
+    key = MODEL_ALIASES.get(name, name)
+    if key not in MODEL_ZOO:
+        raise SystemExit(
+            f"unknown model_name {name!r}; choose from "
+            f"{sorted(MODEL_ZOO) + sorted(MODEL_ALIASES)}")
+    return MODEL_ZOO[key]

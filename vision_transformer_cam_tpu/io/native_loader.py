@@ -42,7 +42,14 @@ def _build() -> bool:
             subprocess.run(["make", "-C", _NATIVE_DIR, "-s"], check=True,
                            capture_output=True)
         return True
-    except Exception:
+    except Exception as e:
+        # surface the compiler/toolchain error once — a silent False here
+        # made native-decode failures undiagnosable (review finding)
+        import sys
+        detail = getattr(e, "stderr", b"") or b""
+        print("native_loader: build failed "
+              f"({e}){': ' + detail.decode(errors='replace').strip() if detail else ''}",
+              file=sys.stderr)
         return False
 
 

@@ -150,6 +150,12 @@ def state_dict_from_pytree(params: dict, cfg: ViTCAMConfig
     if cfg.has_logits:
         sd["pre_logits.fc.weight"] = _t(params["pre_logits"]["kernel"])
         sd["pre_logits.fc.bias"] = g(params["pre_logits"]["bias"])
+    if cfg.distilled:
+        # keep the round-trip with pytree_from_state_dict:101-105 closed
+        # (these were loaded but never exported — review finding)
+        sd["dist_token"] = g(params["dist_token"])
+        sd["head_dist.weight"] = _t(params["head_dist"]["kernel"])
+        sd["head_dist.bias"] = g(params["head_dist"]["bias"])
     for i in range(cfg.depth):
         import jax
         bp = jax.tree.map(lambda a: np.asarray(a[i]), params["blocks"])

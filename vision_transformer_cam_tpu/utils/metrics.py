@@ -104,8 +104,12 @@ class ConfusionMatrix:
             self.mat[:] = 0
 
     def compute(self):
+        if self.mat is None:
+            raise ValueError(
+                "ConfusionMatrix.compute(): no samples accumulated — "
+                "update() was never called (empty val split?)")
         h = self.mat.astype(np.float64)
-        acc_global = np.diag(h).sum() / h.sum()
+        acc_global = np.diag(h).sum() / max(h.sum(), 1.0)
         with np.errstate(divide="ignore", invalid="ignore"):
             acc = np.diag(h) / h.sum(1)
             iu = np.diag(h) / (h.sum(1) + h.sum(0) - np.diag(h))
