@@ -157,6 +157,7 @@ def main(argv=None):
           "(parity mode, then the int8 serving tier)")
     common = ["--model_name", "tiny_demo", "--dataset_path", data,
               "--val_img_name_path", os.path.join(data, "val.txt"),
+              "--cls_labels_path", labels_npy,  # use the cache from step 2
               "--weights", ckpt, "--batch_size", str(args.n_val)]
     res = vcli.main(common + [
         "--seg_pred_dir", os.path.join(work, "seg_parity")])

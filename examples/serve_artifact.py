@@ -73,11 +73,29 @@ def main(argv=None):
           f"batch={batch} img={size} platforms={meta['platforms']} "
           f"calibration={meta.get('calibration', '?')}")
 
-    paths = sorted(glob.glob(os.path.join(args.images, "*.jpg"))
-                   if os.path.isdir(args.images) else glob.glob(args.images))
+    if os.path.isdir(args.images):
+        paths = sorted(p for pat in ("*.jpg", "*.jpeg", "*.JPG", "*.JPEG")
+                       for p in glob.glob(os.path.join(args.images, pat)))
+    else:
+        paths = sorted(glob.glob(args.images))
     if not paths:
         raise SystemExit(f"no images match {args.images}")
     os.makedirs(args.out, exist_ok=True)
+
+    # a --data_parallel artifact bakes in a device mesh: check early and
+    # shard the batch over it (fn.call on plain host arrays would fail
+    # deep in the loop with an opaque device-count error)
+    put = lambda a: a  # noqa: E731
+    if meta.get("nr_devices", 1) > 1:
+        n = meta["nr_devices"]
+        if len(jax.devices()) < n:
+            raise SystemExit(
+                f"artifact was exported for {n} devices; this host has "
+                f"{len(jax.devices())}")
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        mesh = Mesh(jax.devices()[:n], ("data",))
+        sh = NamedSharding(mesh, PartitionSpec("data"))
+        put = lambda a: jax.device_put(a, sh)  # noqa: E731
 
     # preprocessing contract from the sidecar (ImageNet stats fallback for
     # artifacts exported before mean/std were recorded)
@@ -89,7 +107,7 @@ def main(argv=None):
         x = np.zeros((batch, size, size, 3), np.float32)  # tail zero-padded
         for i, p in enumerate(chunk):
             x[i] = load_and_preprocess(p, size, mean, std)
-        logits, head1_logits, cam = fn.call(x)
+        logits, head1_logits, cam = fn.call(put(x))
         probs = 1.0 / (1.0 + np.exp(-np.asarray(head1_logits, np.float64)))
         cam = np.asarray(cam, np.float64)
         for i, p in enumerate(chunk):

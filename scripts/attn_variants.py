@@ -137,8 +137,16 @@ def run(qkv, bg, joint, variant):
     )(qkv, bg, joint)
 
 
+_VARIANTS = ("full", "noexp", "matmul-only", "nomask", "int8qk", "int8pv",
+             "int8both", "headbatch")
+
+
 def main():
     variant = sys.argv[1] if len(sys.argv) > 1 else "full"
+    if variant not in _VARIANTS:
+        # an unknown name would silently fall through every if/elif to the
+        # FULL kernel and print a plausible mislabeled number
+        raise SystemExit(f"unknown variant {variant!r}; one of {_VARIANTS}")
     dt = jnp.bfloat16
     qkv = jax.random.normal(jax.random.key(0), (B, N, 3 * C), dt)
     bg = (jax.random.uniform(jax.random.key(1), (B, N)) < 0.3).astype(

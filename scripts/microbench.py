@@ -62,17 +62,20 @@ def main():
         qkv = jax.random.normal(key, (B, N, 3 * C), dt)
         bg = (jax.random.uniform(jax.random.key(1), (B, N)) < 0.3
               ).astype(dt)
+        # the 79 MB joint is a jit ARGUMENT, never a closure — closed-over
+        # arrays bake into the HLO as constants and trip the remote
+        # compiler's payload limit (CLAUDE.md HTTP-413 gotcha)
         joint = jnp.broadcast_to(jnp.eye(N, dtype=jnp.float32), (B, N, N)) \
             if variant == "attn-rollout" else None
 
-        def f(qkv, bg):
+        def f(qkv, bg, joint):
             return masked_attention_fused(
                 qkv, bg, joint, num_heads=H, scale=SCALE,
                 with_headmean=variant == "attn-headmean",
                 clamp_softmax=True,
                 block_b=int(sys.argv[2]) if len(sys.argv) > 2 else 1)
 
-        ms = timeit(jax.jit(f), qkv, bg)
+        ms = timeit(jax.jit(f), qkv, bg, joint)
         print(f"{variant}: {ms:.2f} ms/layer-call  "
               f"({ms * DEPTH:.1f} ms per 12-layer model)")
 
@@ -86,13 +89,13 @@ def main():
             if variant.endswith("rollout") else None
         scales = jnp.asarray([0.02, 0.02, 0.02, 1 / 0.05], jnp.float32)
 
-        def f(qkv, bg):
+        def f(qkv, bg, joint):  # joint as ARGUMENT (HTTP-413 gotcha)
             return masked_attention_fused(
                 qkv, bg, joint, scales, num_heads=H, scale=SCALE,
                 clamp_softmax=True,
                 block_b=int(sys.argv[2]) if len(sys.argv) > 2 else 1)
 
-        ms = timeit(jax.jit(f), qkv, bg)
+        ms = timeit(jax.jit(f), qkv, bg, joint)
         print(f"{variant}: {ms:.2f} ms/layer-call  "
               f"({ms * DEPTH:.1f} ms per 12-layer model)")
 

@@ -83,10 +83,10 @@ def main():
         mode = "int8"
         if "--serving" in sys.argv:
             i = sys.argv.index("--serving")
-            if i + 1 >= len(sys.argv) \
-                    or sys.argv[i + 1] not in serving.SERVING_MODES:
-                raise SystemExit(
-                    f"--serving needs one of {serving.SERVING_MODES}")
+            modes = tuple(m for m in serving.SERVING_MODES if m != "off")
+            if i + 1 >= len(sys.argv) or sys.argv[i + 1] not in modes:
+                raise SystemExit(f"--serving needs one of {modes} (this "
+                                 "script profiles the serving graphs)")
             mode = sys.argv[i + 1]
         params, cfg = serving.apply_serving_mode(params, cfg, mode, calib)
         if "--ln-quant" in sys.argv:
@@ -117,9 +117,20 @@ def main():
     pids = {e["pid"]: e["args"].get("name") for e in data["traceEvents"]
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev = [p for p, name in pids.items() if name and "TPU" in name]
+    # keep only per-op rows: module/step ENVELOPE threads ("XLA Modules",
+    # "Steps") span all their ops, so summing every ph=X event in the pid
+    # double-counts them into TOTAL (review finding).  Thread names arrive
+    # as ph=M thread_name metadata; unknown layouts keep everything.
+    tids = {(e["pid"], e["tid"]): e["args"].get("name")
+            for e in data["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    envelope = {k for k, name in tids.items()
+                if name and ("module" in name.lower()
+                             or name.lower().startswith("step"))}
     dur = collections.Counter()
     for e in data["traceEvents"]:
-        if e.get("ph") == "X" and e["pid"] in dev:
+        if e.get("ph") == "X" and e["pid"] in dev \
+                and (e["pid"], e.get("tid")) not in envelope:
             dur[e.get("name", "?")] += e.get("dur", 0)
     top = int(sys.argv[sys.argv.index("--top") + 1]) \
         if "--top" in sys.argv else 20
