@@ -117,21 +117,43 @@ def main():
     pids = {e["pid"]: e["args"].get("name") for e in data["traceEvents"]
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev = [p for p, name in pids.items() if name and "TPU" in name]
-    # keep only per-op rows: module/step ENVELOPE threads ("XLA Modules",
-    # "Steps") span all their ops, so summing every ph=X event in the pid
-    # double-counts them into TOTAL (review finding).  Thread names arrive
-    # as ph=M thread_name metadata; unknown layouts keep everything.
+    # SELF-time accounting: Chrome-format X events nest by time on a tid
+    # (jit_f contains while.12 contains the per-layer ops), so summing raw
+    # durations double-counts every envelope into TOTAL (review finding).
+    # Sweep each tid's events with a stack and subtract child time from the
+    # enclosing event; envelopes (jit_f, while.12) then report only their
+    # scheduling overhead while leaf ops keep their full durations.
+    # ...and module/step envelope THREADS (jit_f lives on "XLA Modules",
+    # not nested with the op rows' tid, so the sweep alone can't subtract
+    # it) are excluded outright.
     tids = {(e["pid"], e["tid"]): e["args"].get("name")
             for e in data["traceEvents"]
             if e.get("ph") == "M" and e.get("name") == "thread_name"}
     envelope = {k for k, name in tids.items()
                 if name and ("module" in name.lower()
                              or name.lower().startswith("step"))}
-    dur = collections.Counter()
+    per_tid = collections.defaultdict(list)
     for e in data["traceEvents"]:
         if e.get("ph") == "X" and e["pid"] in dev \
                 and (e["pid"], e.get("tid")) not in envelope:
-            dur[e.get("name", "?")] += e.get("dur", 0)
+            per_tid[(e["pid"], e.get("tid"))].append(
+                (e.get("ts", 0), e.get("dur", 0), e.get("name", "?")))
+    dur = collections.Counter()
+    for events in per_tid.values():
+        events.sort(key=lambda t: (t[0], -t[1]))
+        stack = []  # (end_ts, name, self_dur) — self_dur mutated via index
+        selfd = []
+        for ts, d, name in events:
+            while stack and ts >= stack[-1][0]:
+                end, nm, i = stack.pop()
+                dur[nm] += selfd[i]
+            if stack:  # child: subtract from the enclosing event
+                selfd[stack[-1][2]] -= d
+            stack.append((ts + d, name, len(selfd)))
+            selfd.append(d)
+        while stack:
+            end, nm, i = stack.pop()
+            dur[nm] += selfd[i]
     top = int(sys.argv[sys.argv.index("--top") + 1]) \
         if "--top" in sys.argv else 20
     print(f"device-op totals over {n_iters} batches of {batch} "
