@@ -44,7 +44,7 @@ _COMBOS.append((False, False, False, False, True, True, False))
 
 
 @pytest.mark.parametrize("combo", _COMBOS,
-                         ids=["-".join(f"{k[0][:4]}{int(bool(v))}"
+                         ids=["-".join(f"{k[:4]}{int(bool(v))}"
                                        for (k, _), v in zip(KNOBS, c))
                               for c in _COMBOS])
 def test_pallas_matches_xla_across_knobs(combo):

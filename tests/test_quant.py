@@ -282,7 +282,11 @@ def test_int8_attn_out_kernel_matches_quantized_float():
         qkv, bg, None, jnp.asarray([1.0 / s_out], jnp.float32),
         num_heads=h, scale=0.25, interpret=True)
     assert got.dtype == jnp.int8
-    ref_i8 = np.clip(np.round(np.asarray(ref_f, np.float32) / s_out),
+    # reference quantization in the kernel's own form — f32 multiply by the
+    # reciprocal — so the bit-exact compare can't flip on a .5 boundary a
+    # ~1-ulp-different `/ s_out` would straddle (review finding)
+    ref_i8 = np.clip(np.round(np.asarray(ref_f, np.float32)
+                              * np.float32(1.0 / s_out)),
                      -127, 127).astype(np.int8)
     np.testing.assert_array_equal(np.asarray(got), ref_i8)
     np.testing.assert_array_equal(np.asarray(cls_got), np.asarray(cls_f))

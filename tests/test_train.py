@@ -231,6 +231,7 @@ def test_load_weights_from_orbax_dir(tmp_path):
     """validate/predict/export --weights accepts the orbax checkpoint DIR
     cli.train writes (no .npz conversion step in the user path): the params
     subtree comes back exactly, optimizer state dropped."""
+    pytest.importorskip("orbax.checkpoint")  # save falls back to .npz w/o it
     from vision_transformer_cam_tpu.io import weights as wio
     params = vit.init(TINY, jax.random.key(2))
     tx, _ = statelib.make_optimizer(configs.OptimConfig(),
