@@ -309,6 +309,29 @@ def test_export_cli_data_parallel(tmp_path, tiny_zoo):
     assert meta2["nr_devices"] == len(jax.devices())
 
 
+def test_serve_artifact_data_parallel(voc_tree, tmp_path, tiny_zoo):
+    """examples/serve_artifact.py on a --data_parallel artifact: the batch
+    is sharded over the artifact's recorded mesh and CAM overlays come out
+    (the sharded deployment consumer path)."""
+    import importlib.util
+    import pathlib
+
+    from vision_transformer_cam_tpu.cli import export as ecli
+    out = str(tmp_path / "tiny_dp_serve.jaxex")
+    ecli.main(["--model_name", tiny_zoo, "--serving", "bf16",
+               "--batch", "8", "--data_parallel", "--out", out])
+    spec = importlib.util.spec_from_file_location(
+        "serve_artifact", pathlib.Path(__file__).resolve().parents[1]
+        / "examples/serve_artifact.py")
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+    rc = serve.main(["--artifact", out,
+                     "--images", str(voc_tree / "JPEGImages"),
+                     "--out", str(tmp_path / "served_dp")])
+    assert rc == 0
+    assert len(os.listdir(tmp_path / "served_dp")) == len(NAMES)
+
+
 def test_validate_cli_native_decode(voc_tree, tmp_path, tiny_zoo,
                                     monkeypatch):
     """--native_decode opts into the C++ batched JPEG pipeline (PIL stays

@@ -318,6 +318,31 @@ def test_int8_attn_out_model_forward_close():
                                np.asarray(xla.logits), atol=2e-2)
 
 
+def test_int8_serving_distilled_model():
+    """Distilled (cls+dist) config through the full int8 serving path:
+    calibration walks the distilled graph (num_tokens=2 prefix), head_dist
+    stays float, and the pallas int8 forward holds the float path's
+    accuracy class — the serving tier x distillation cross-term."""
+    cfg = TINY.replace(distilled=True)
+    params = vit.init(cfg, jax.random.key(1))
+    rng = np.random.default_rng(15)
+    calib = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    scales = quant.calibrate_act_scales(params, cfg, calib)
+    qparams = quant.quantize_params(params, act_scales=scales)
+    assert "kernel_q" not in qparams["head_dist"]
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    ref = vit.apply(params, x, cfg, need_rollout=True)
+    got = vit.apply(qparams, x,
+                    cfg.replace(attn_impl="pallas", int8_attn_io=True),
+                    need_rollout=True)
+    a = np.asarray(ref.logits).ravel()
+    b = np.asarray(got.logits).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99
+    assert np.isfinite(np.asarray(got.rollout_row)).all()
+    assert got.rollout_row.shape[-1] == 16 + 2  # 4x4 grid + cls + dist
+
+
 def test_apply_serving_mode():
     """serving.apply_serving_mode: the one-call production config — 'off'
     is identity, 'bf16'/'int8' stay in the f32 path's accuracy class, and
