@@ -309,6 +309,43 @@ def test_export_cli_data_parallel(tmp_path, tiny_zoo):
     assert meta2["nr_devices"] == len(jax.devices())
 
 
+def test_tools_convert_roundtrip(tmp_path, tiny_zoo):
+    """tools convert: orbax dir -> reference .pth -> back through the .pth
+    loader equals the original params (the fine-tune-here, validate-with-
+    the-original-repo interop path), and -> .npz round-trips too."""
+    import jax.numpy as jnp
+
+    from vision_transformer_cam_tpu.cli import tools
+    from vision_transformer_cam_tpu.io import weights as wio
+    from vision_transformer_cam_tpu.models import vit
+    from vision_transformer_cam_tpu.train import checkpoint as ckptlib
+    from vision_transformer_cam_tpu.train.state import (create_train_state,
+                                                        make_optimizer)
+    cfg = configs.MODEL_ZOO[tiny_zoo]()
+    params = vit.init(cfg, jax.random.key(3))
+    tx, _ = make_optimizer(configs.OptimConfig(), global_batch_size=4,
+                           steps_per_epoch=1)
+    ckpt = ckptlib.save(str(tmp_path), "final",
+                        create_train_state(params, tx))
+
+    pth = str(tmp_path / "tuned.pth")
+    tools.main(["convert", "--weights", ckpt, "--out", pth,
+                "--model_name", tiny_zoo])
+    back = wio.load_weights(pth, cfg, del_keys=())
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-6),
+        params, back)
+
+    npz = str(tmp_path / "tuned.npz")
+    tools.main(["convert", "--weights", pth, "--out", npz,
+                "--model_name", tiny_zoo])
+    back2 = wio.load_weights(npz, cfg)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-6),
+        params, back2)
+    assert isinstance(back2["head"]["kernel"], jnp.ndarray)
+
+
 def test_serve_artifact_data_parallel(voc_tree, tmp_path, tiny_zoo):
     """examples/serve_artifact.py on a --data_parallel artifact: the batch
     is sharded over the artifact's recorded mesh and CAM overlays come out

@@ -100,6 +100,30 @@ def cmd_flops(args):
               f"({r['total_macs_fvcore_style']/1e9:.3f} GMACs)")
 
 
+def cmd_convert(args):
+    """Checkpoint container conversion: any input this framework reads
+    (.pth / .npz / orbax dir) to .npz, or to a reference-loadable torch
+    .pth state_dict (io/weights.state_dict_from_pytree) — so a fine-tuned
+    model here can be validated/predicted with the ORIGINAL PyTorch repo,
+    and reference checkpoints convert to the fast native format once."""
+    from vision_transformer_cam_tpu import configs
+    from vision_transformer_cam_tpu.io import weights as wio
+    cfg = configs.resolve_model(args.model_name)(
+        num_classes=args.num_classes)
+    cfg = cfg.replace(representation_size=None)
+    params = wio.load_weights(args.weights, cfg, del_keys=())
+    if args.out.endswith(".npz"):
+        wio.save_npz(args.out, params)
+    elif args.out.endswith(".pth"):
+        import torch
+        sd = {k: torch.tensor(v) for k, v in
+              wio.state_dict_from_pytree(params, cfg).items()}
+        torch.save(sd, args.out)
+    else:
+        raise SystemExit(f"--out must end in .npz or .pth, got {args.out!r}")
+    print(f"wrote {args.out}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -125,6 +149,14 @@ def build_parser():
                    help="VOC SegmentationClass PNG; empty = built-in map")
     g.add_argument("--out", default="palette.json")
     g.set_defaults(fn=cmd_get_palette)
+
+    cv = sub.add_parser("convert")
+    cv.add_argument("--weights", required=True,
+                    help=".pth / .npz / orbax checkpoint dir")
+    cv.add_argument("--out", required=True, help="target .npz or .pth")
+    cv.add_argument("--model_name", default="vit_base_patch16_224_in21k")
+    cv.add_argument("--num_classes", type=int, default=20)
+    cv.set_defaults(fn=cmd_convert)
 
     f = sub.add_parser("flops")
     f.add_argument("--dim", type=int, default=512)
