@@ -181,6 +181,10 @@ def main():
     model = sys.argv[sys.argv.index("--model") + 1] \
         if "--model" in sys.argv else "vit_base_patch16_224_in21k"
     cfg, use_int8 = build_cfg(sys.argv, model)
+    # long-sequence models: raise the scoped-VMEM partition BEFORE the
+    # first device use (single-q-block kernel; BENCHMARKS "ViT-L@384")
+    from vision_transformer_cam_tpu.utils import tune_tpu_for_long_sequence
+    tune_tpu_for_long_sequence(cfg)
     params = vit.init(cfg, jax.random.key(0))
     if use_int8:
         from vision_transformer_cam_tpu.ops.quant import (

@@ -255,6 +255,41 @@ def test_masked_attention_fused_long_seq():
                                atol=1e-6)
 
 
+def test_long_seq_single_qblock_under_scoped_vmem_marker(monkeypatch):
+    """utils.tune_tpu_for_long_sequence: no-op at short N; at long N it sets
+    LIBTPU_INIT_ARGS + the marker env, under which the kernel's auto
+    q_block runs ONE block per image (504.5 vs 467.7 img/s at ViT-L@384,
+    BENCHMARKS) — numerics must be unchanged."""
+    from vision_transformer_cam_tpu import configs, utils
+    monkeypatch.delenv(utils.SCOPED_VMEM_MARKER, raising=False)
+    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    short = configs.ViTCAMConfig(img_size=32, patch_size=8, embed_dim=64,
+                                 depth=2, num_heads=2, num_classes=5)
+    assert not utils.tune_tpu_for_long_sequence(short)
+    assert "LIBTPU_INIT_ARGS" not in __import__("os").environ
+
+    long_cfg = configs.vit_large_patch16_384()
+    assert utils.tune_tpu_for_long_sequence(long_cfg)
+    import os
+    assert "scoped_vmem_limit" in os.environ["LIBTPU_INIT_ARGS"]
+    assert not utils.tune_tpu_for_long_sequence(long_cfg)  # idempotent
+
+    # the marker flips auto q_block to n at long N — same numbers
+    q, k, v, bg = _qkv(b=1, h=2, n=577, dh=8, seed=33)
+    b, h, n, dh = q.shape
+    pack = jnp.concatenate(
+        [t.transpose(0, 2, 1, 3).reshape(b, n, h * dh) for t in (q, k, v)],
+        axis=-1)
+    out, cls = ka.masked_attention_fused(pack, bg, num_heads=h, scale=0.25,
+                                         interpret=True)
+    want_out, want_cls = _oracle(q, k, v, bg, 0.25)
+    want_out = jnp.transpose(want_out, (0, 2, 1, 3)).reshape(b, n, h * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want_out),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(want_cls),
+                               atol=1e-6)
+
+
 def test_clamp_softmax_matches_when_in_range():
     """clamp_softmax is bit-comparable to the stable softmax whenever logits
     stay within +-80 (always true for trained ViTs at scale 1/8)."""

@@ -83,6 +83,8 @@ def build_fn(args):
     factory = configs.resolve_model(args.model_name)
     cfg = factory(num_classes=args.num_classes)
     cfg = cfg.replace(representation_size=None)
+    from vision_transformer_cam_tpu.utils import tune_tpu_for_long_sequence
+    tune_tpu_for_long_sequence(cfg)  # N>512: scoped-VMEM, pre-backend-init
     if args.weights:
         params = wio.load_weights(args.weights, cfg, del_keys=())
     else:

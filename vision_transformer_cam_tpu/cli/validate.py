@@ -86,6 +86,8 @@ def val(args) -> dict:
     factory = configs.resolve_model(args.model_name)
     cfg = factory(num_classes=args.num_classes)
     cfg = cfg.replace(representation_size=None)  # has_logits=False
+    from vision_transformer_cam_tpu.utils import tune_tpu_for_long_sequence
+    tune_tpu_for_long_sequence(cfg)  # N>512: scoped-VMEM, pre-backend-init
     impl = args.attn_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"

@@ -337,8 +337,17 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     # (explicit rollout_post=False) drops to QB=224, the only candidate
     # that also fits in-model with the joint resident.
     # Sweep tool: scripts/qblock_sweep.py; numbers in BENCHMARKS "ViT-L@384".
+    # With the raised scoped-VMEM partition (utils.tune_tpu_for_long_sequence
+    # sets LIBTPU_INIT_ARGS + the marker env before backend init) the whole
+    # [N, N] buffer set fits and ONE query block per image is fastest:
+    # 504.5 vs 467.7 img/s at ViT-L@384 int8.
     if q_block <= 0:
-        if int8_io and n > 512:
+        import os
+        from vision_transformer_cam_tpu.utils import SCOPED_VMEM_MARKER
+        if n > 512 and int(os.environ.get(SCOPED_VMEM_MARKER, "0")
+                           or 0) >= 32768:
+            q_block = n
+        elif int8_io and n > 512:
             q_block = 384 if joint is None else 224
         else:
             q_block = 512

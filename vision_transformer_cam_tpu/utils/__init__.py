@@ -16,6 +16,33 @@ def honor_jax_platforms_env() -> None:
         jax.config.update("jax_platforms", want)
 
 
+SCOPED_VMEM_MARKER = "_VITCAM_SCOPED_VMEM_KIB"
+LONG_N_SCOPED_VMEM_KIB = 32768
+
+
+def tune_tpu_for_long_sequence(cfg) -> bool:
+    """Long-sequence TPU serving setup (N > 512, e.g. ViT-L/16@384's 577
+    tokens): raise libtpu's scoped-VMEM partition via LIBTPU_INIT_ARGS so
+    the attention kernel can run ONE query block per image instead of
+    q-blocking around the default 16 MB limit — measured 467.7 -> 504.5
+    img/s end-to-end (BENCHMARKS 'ViT-L@384').  Returns True when applied.
+
+    MUST run before the first TPU use: LIBTPU_INIT_ARGS is consumed once at
+    backend init (the CLIs call this right after config resolution).  Also
+    sets a marker env the kernel's auto q_block reads.  No-op for short
+    sequences — the raised limit measured 5.8% SLOWER on ViT-B@224 (XLA's
+    own fusions schedule worse with a bigger scoped partition), so this is
+    strictly a long-N knob.  Harmless off-TPU (CPU jax ignores the env)."""
+    if cfg.seq_len <= 512 or os.environ.get(SCOPED_VMEM_MARKER):
+        return False
+    flag = f"--xla_tpu_scoped_vmem_limit_kib={LONG_N_SCOPED_VMEM_KIB}"
+    prev = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "scoped_vmem_limit" not in prev:
+        os.environ["LIBTPU_INIT_ARGS"] = (prev + " " + flag).strip()
+    os.environ[SCOPED_VMEM_MARKER] = str(LONG_N_SCOPED_VMEM_KIB)
+    return True
+
+
 def same_seeds(seed: int):
     """Determinism entry (same_seeds, duplicated at train_and_validate.py:
     23-31 / predict.py:51-59 / validate.py:21-29).  Seeds the host-side
