@@ -72,7 +72,8 @@ _FLAGS = {"--gelu-exact", "--stable-softmax", "--mlp-fusion", "--int8-fused",
           "--int8-hifi", "--bf16", "--f32", "--xla", "--no-int8-attn",
           "--int8-attn", "--int8-dynamic", "--no-cam", "--latency",
           "--train"}
-_VALUE_FLAGS = {"--block-b", "--q-block", "--batch", "--model"}
+_VALUE_FLAGS = {"--block-b", "--q-block", "--batch", "--model",
+                "--dispatch-chunks"}
 
 
 def _check_flags(argv):
@@ -213,18 +214,56 @@ def main():
         cam = rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
         return out.logits, out.head1_logits, cam
 
-    images = jax.random.normal(
-        jax.random.key(1), (batch, cfg.img_size, cfg.img_size, 3),
-        jnp.float32)
+    # --dispatch-chunks N (N>1, throughput only): run N independent batches
+    # under ONE jitted lax.scan per dispatch.  MEASURED DEAD END for the
+    # host-dispatch-gap theory (BENCHMARKS.md): a wash at N=2 (5 527 vs
+    # 5 532 default) and a collapse at N=4 (3 383 — the stacked f32 input is
+    # 1.23 GB, HBM pressure), proving the 4.3 ms/batch wall-vs-device gap is
+    # NOT per-dispatch host cost.  Kept as the measurement knob that pins
+    # that conclusion.  Chunks get DISTINCT images so no compiler shortcut
+    # can dedupe iterations.
+    n_chunks = int(sys.argv[sys.argv.index("--dispatch-chunks") + 1]) \
+        if "--dispatch-chunks" in sys.argv else 1
+    if n_chunks > 1 and latency:
+        raise SystemExit("bench.py: --dispatch-chunks is a throughput knob; "
+                         "it does not compose with --latency")
 
-    def sync(res):
-        # On tunneled platforms block_until_ready can be a no-op; a scalar
-        # device->host read is the only reliable execution barrier.
-        return float(jnp.sum(res[2]))
+    if n_chunks > 1:
+        images = jax.random.normal(
+            jax.random.key(1),
+            (n_chunks, batch, cfg.img_size, cfg.img_size, 3), jnp.float32)
+
+        @jax.jit
+        def run(params, images):
+            def body(carry, imgs):
+                out = cam_extract(params, imgs)
+                # carry a running scalar so the sync read depends on every
+                # chunk's output without stacking N full CAM tensors
+                return carry + jnp.sum(out[2].astype(jnp.float32)), None
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), images)
+            return total
+
+        def sync(res):
+            return float(res)
+
+        dispatch = run
+        imgs_per_dispatch = batch * n_chunks
+    else:
+        images = jax.random.normal(
+            jax.random.key(1), (batch, cfg.img_size, cfg.img_size, 3),
+            jnp.float32)
+
+        def sync(res):
+            # On tunneled platforms block_until_ready can be a no-op; a
+            # scalar device->host read is the only reliable barrier.
+            return float(jnp.sum(res[2]))
+
+        dispatch = cam_extract
+        imgs_per_dispatch = batch
 
     # compile + warmup
-    sync(cam_extract(params, images))
-    sync(cam_extract(params, images))
+    sync(dispatch(params, images))
+    sync(dispatch(params, images))
 
     # Chain CHUNK async dispatches per timing window and sync once, so the
     # host<->device round-trip latency amortizes out of the measurement.
@@ -232,11 +271,15 @@ def main():
     # device latency — the ~30 ms tunnel RTT is excluded by construction,
     # matching how an on-device serving loop would see it.)
     chunk, iters = (10, 15) if latency else (10, 3)
+    if n_chunks > 1:
+        # each dispatch already covers n_chunks batches; keep the timed
+        # window at ~10 batches of device work
+        chunk = max(1, 10 // n_chunks)
     windows = []
     for _ in range(iters):
         t0 = time.perf_counter()
         for _ in range(chunk):
-            res = cam_extract(params, images)
+            res = dispatch(params, images)
         sync(res)
         windows.append((time.perf_counter() - t0) / chunk)
     best = min(windows)
@@ -255,7 +298,7 @@ def main():
         }))
         return
 
-    img_per_s = batch / best
+    img_per_s = imgs_per_dispatch / best
     print(json.dumps({
         "metric": f"{stem}_{kind}_throughput",
         "value": round(img_per_s, 1),
