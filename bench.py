@@ -84,7 +84,10 @@ def _check_flags(argv):
     while i < len(argv):
         tok = argv[i]
         if tok in _VALUE_FLAGS:
-            if i + 1 >= len(argv):
+            # a following "--flag" is NOT a value — catching `--batch
+            # --latency` here beats the raw int() crash (or, worse,
+            # `--model --f32` silently eating an ablation flag) later
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
                 raise SystemExit(f"bench.py: {tok} needs a value")
             i += 2
             continue

@@ -51,6 +51,16 @@ def main(argv=None):
     # the artifact is platform-specific (export bakes the kernel lowering);
     # pin jax to it BEFORE the first jax import
     os.environ["JAX_PLATFORMS"] = meta["platforms"][0]
+    # long-N artifacts were traced with the raised scoped-VMEM partition
+    # (single-q-block attention kernel baked into the StableHLO): replay
+    # the same libtpu setting before backend init or the compile OOMs
+    # under the 16 MB default (cli.export records the requirement)
+    kib = meta.get("scoped_vmem_kib")
+    if kib and "scoped_vmem_limit" not in os.environ.get(
+            "LIBTPU_INIT_ARGS", ""):
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            os.environ.get("LIBTPU_INIT_ARGS", "")
+            + f" --xla_tpu_scoped_vmem_limit_kib={kib}").strip()
 
     # host-side glue only — no model / weights / config imports
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

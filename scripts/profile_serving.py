@@ -45,6 +45,11 @@ def main():
         if "--model" in sys.argv else "vit_base_patch16_224_in21k"
     cfg = configs.MODEL_ZOO[model](num_classes=20)
     cfg = cfg.replace(representation_size=None)
+    # profile the SAME long-N config bench/export ship (scoped-VMEM raised,
+    # single-q-block kernel) — otherwise the designated attribution tool
+    # traces a different graph than the one serving runs
+    from vision_transformer_cam_tpu.utils import tune_tpu_for_long_sequence
+    tune_tpu_for_long_sequence(cfg)
 
     if "--train" in sys.argv:
         # the bench.py --train config: bf16, Pallas fwd+bwd kernels, remat

@@ -408,3 +408,14 @@ def test_validate_cli_weights_plus_serving(voc_tree, tmp_path, tiny_zoo,
                      "--attn_impl", "pallas", "--serving", "int8",
                      "--seg_pred_dir", str(tmp_path / "spw")])
     assert np.isfinite(res["mAP"]) and np.isfinite(res["mIoU"])
+
+
+def test_train_cli_accepts_vit_base_alias():
+    """The reference's own --model_name value (train_and_validate.py:219)
+    must parse on the training CLI too, not just validate/predict/export."""
+    from vision_transformer_cam_tpu.cli import train as tcli
+    args = tcli.build_parser().parse_args(
+        ["--model_name", "vit_base", "--dataset_path", "x",
+         "--train_img_name_path", "y", "--val_img_name_path", "z"])
+    cfg = configs.resolve_model(args.model_name)(num_classes=20)
+    assert cfg.embed_dim == 768 and cfg.depth == 12

@@ -232,3 +232,13 @@ def test_batch_loader_native_decode(tmp_path):
     assert nat_batch["name"] == pil_batch["name"]
     assert nat_batch["image"].shape == pil_batch["image"].shape
     assert np.abs(nat_batch["image"] - pil_batch["image"]).max() < 0.05
+
+
+def test_save_indexed_png_rejects_ids_over_255(tmp_path):
+    """Indexed PNGs hold <= 256 ids; large filler ids (compose_pseudo_seg
+    keeps them int64 for correct scoring) must raise instead of silently
+    wrapping into valid-looking foreground classes on disk."""
+    import pytest
+    labels = np.array([[0, 1], [2, 300]], np.int64)
+    with pytest.raises(ValueError, match="300"):
+        palette.save_indexed_png(str(tmp_path / "bad.png"), labels)

@@ -261,8 +261,14 @@ def test_long_seq_single_qblock_under_scoped_vmem_marker(monkeypatch):
     q_block runs ONE block per image (504.5 vs 467.7 img/s at ViT-L@384,
     BENCHMARKS) — numerics must be unchanged."""
     from vision_transformer_cam_tpu import configs, utils
-    monkeypatch.delenv(utils.SCOPED_VMEM_MARKER, raising=False)
-    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    # setenv-then-delenv (not bare delenv, which records nothing to undo
+    # when the var is absent): tune_tpu_for_long_sequence sets these envs
+    # directly, and they must NOT leak into later tests — a stale marker
+    # would silently flip every subsequent n>512 kernel test onto the
+    # single-q-block path
+    for var in (utils.SCOPED_VMEM_MARKER, "LIBTPU_INIT_ARGS"):
+        monkeypatch.setenv(var, "sentinel-restored-after-test")
+        monkeypatch.delenv(var)
     short = configs.ViTCAMConfig(img_size=32, patch_size=8, embed_dim=64,
                                  depth=2, num_heads=2, num_classes=5)
     assert not utils.tune_tpu_for_long_sequence(short)
@@ -427,3 +433,28 @@ def test_calibrate_act_scales_distilled():
         np.random.default_rng(9).standard_normal((2, 32, 32, 3)), jnp.float32)
     scales = quant.calibrate_act_scales(params, cfg, calib)
     assert scales["blocks"]["qkv"].shape == (cfg.depth,)
+
+
+def test_tune_tpu_honors_user_pinned_partition(monkeypatch):
+    """A user-pinned --xla_tpu_scoped_vmem_limit_kib must be respected:
+    smaller than the long-N requirement -> NO marker (the kernel stays
+    q-blocked; advertising 32 MB under a 16 MB partition OOMs Mosaic),
+    bigger -> marker reflects the ACTUAL partition."""
+    import os
+
+    from vision_transformer_cam_tpu import configs, utils
+    monkeypatch.setenv(utils.SCOPED_VMEM_MARKER, "sentinel")
+    monkeypatch.delenv(utils.SCOPED_VMEM_MARKER)
+    long_cfg = configs.vit_large_patch16_384()
+
+    monkeypatch.setenv("LIBTPU_INIT_ARGS",
+                       "--xla_tpu_scoped_vmem_limit_kib=16384")
+    assert not utils.tune_tpu_for_long_sequence(long_cfg)
+    assert utils.SCOPED_VMEM_MARKER not in os.environ
+    # the pinned value is untouched (no second flag appended)
+    assert os.environ["LIBTPU_INIT_ARGS"].count("scoped_vmem_limit") == 1
+
+    monkeypatch.setenv("LIBTPU_INIT_ARGS",
+                       "--xla_tpu_scoped_vmem_limit_kib=49152")
+    assert utils.tune_tpu_for_long_sequence(long_cfg)
+    assert os.environ[utils.SCOPED_VMEM_MARKER] == "49152"

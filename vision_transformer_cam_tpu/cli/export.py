@@ -174,7 +174,15 @@ def main(argv=None) -> str:
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
+    # long-N artifacts bake the single-q-block kernel chosen under the
+    # raised scoped-VMEM partition (utils.tune_tpu_for_long_sequence) into
+    # the StableHLO — the serving host must raise the partition too, so the
+    # sidecar records the requirement for consumers (serve_artifact.py
+    # applies it before backend init)
+    from vision_transformer_cam_tpu.utils import SCOPED_VMEM_MARKER
+    scoped = os.environ.get(SCOPED_VMEM_MARKER)
     meta = {"model_name": args.model_name, "serving": args.serving,
+            "scoped_vmem_kib": int(scoped) if scoped else None,
             "batch": args.batch, "img_size": cfg.img_size,
             "num_classes": args.num_classes, "with_cam": not args.no_cam,
             "nr_devices": exported.nr_devices,

@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_name", type=str,
                    default="vit_base_patch16_224_in21k",
-                   choices=sorted(configs.MODEL_ZOO))
+                   choices=sorted(configs.MODEL_ZOO)
+                   + sorted(configs.MODEL_ALIASES))
     p.add_argument("--num_classes", type=int, default=20)
     p.add_argument("--epochs", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=16)
@@ -73,7 +74,7 @@ def main(argv=None):
     from vision_transformer_cam_tpu.utils import honor_jax_platforms_env
     honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
-    model_cfg = configs.MODEL_ZOO[args.model_name](
+    model_cfg = configs.resolve_model(args.model_name)(
         num_classes=args.num_classes)
     if getattr(model_cfg, "has_logits", False):
         model_cfg = model_cfg.replace(representation_size=None)

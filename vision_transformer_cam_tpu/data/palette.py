@@ -75,6 +75,16 @@ def save_indexed_png(path: str, labels: np.ndarray, palette: list | None = None
     """Save a [H, W] uint8 label map as a palette PNG exactly like the
     reference's ToPILImage + putpalette + save (validate.py:258-262,278)."""
     import PIL.Image
-    img = PIL.Image.fromarray(np.asarray(labels, dtype=np.uint8), mode="P")
+    labels = np.asarray(labels)
+    if labels.max(initial=0) > 255:
+        # an indexed PNG holds <= 256 palette ids; a silent uint8 cast here
+        # would WRAP large filler ids (compose_pseudo_seg keeps them int64
+        # precisely so they fold correctly in scoring) into valid-looking
+        # foreground classes on disk
+        raise ValueError(
+            f"save_indexed_png: label id {int(labels.max())} > 255 cannot "
+            "be represented in an indexed PNG (num_classes too large for "
+            "the palette-PNG contract)")
+    img = PIL.Image.fromarray(labels.astype(np.uint8), mode="P")
     img.putpalette(palette if palette is not None else voc_palette_flat())
     img.save(path)

@@ -343,9 +343,10 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     # 504.5 vs 467.7 img/s at ViT-L@384 int8.
     if q_block <= 0:
         import os
-        from vision_transformer_cam_tpu.utils import SCOPED_VMEM_MARKER
+        from vision_transformer_cam_tpu.utils import (LONG_N_SCOPED_VMEM_KIB,
+                                                      SCOPED_VMEM_MARKER)
         if n > 512 and int(os.environ.get(SCOPED_VMEM_MARKER, "0")
-                           or 0) >= 32768:
+                           or 0) >= LONG_N_SCOPED_VMEM_KIB:
             q_block = n
         elif int8_io and n > 512:
             q_block = 384 if joint is None else 224

@@ -39,7 +39,12 @@ def distributed_init() -> None:
     # the coordinator itself for those.
     explicit = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS")
-    slurm = int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+    # SLURM: require a PROCID too — srun sets it per spawned task, while a
+    # bare `salloc -n 8` shell only sets NTASKS.  Gating on NTASKS alone
+    # made a single process launched inside such an allocation block
+    # forever waiting for 7 siblings that were never started.
+    slurm = (int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1
+             and os.environ.get("SLURM_PROCID") is not None)
     tpu_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES")
                    or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     if explicit or slurm or tpu_pod:

@@ -35,10 +35,38 @@ def tune_tpu_for_long_sequence(cfg) -> bool:
     strictly a long-N knob.  Harmless off-TPU (CPU jax ignores the env)."""
     if cfg.seq_len <= 512 or os.environ.get(SCOPED_VMEM_MARKER):
         return False
-    flag = f"--xla_tpu_scoped_vmem_limit_kib={LONG_N_SCOPED_VMEM_KIB}"
     prev = os.environ.get("LIBTPU_INIT_ARGS", "")
-    if "scoped_vmem_limit" not in prev:
-        os.environ["LIBTPU_INIT_ARGS"] = (prev + " " + flag).strip()
+    # The marker must only be set when the partition libtpu will ACTUALLY
+    # use is >= LONG_N_SCOPED_VMEM_KIB — the kernel's auto q_block trusts it
+    # to run one N-row query block, which OOMs under the 16 MB default.
+    import re
+    m = re.search(r"--xla_tpu_scoped_vmem_limit_kib=(\d+)", prev)
+    if m is not None:
+        # the user pinned a partition (e.g. a sweep): honor it, and only
+        # advertise the single-q-block config if it is big enough
+        have = int(m.group(1))
+        if have >= LONG_N_SCOPED_VMEM_KIB:
+            os.environ[SCOPED_VMEM_MARKER] = str(have)
+            return True
+        return False
+    # Too late if a TPU backend already consumed LIBTPU_INIT_ARGS (e.g. a
+    # short-N model ran first in this process): setting the env now has no
+    # effect, so advertising 32 MB would hand the kernel an OOM config.
+    # CPU/interpret runs ignore the env entirely — safe either way.
+    import jax._src.xla_bridge as _xb
+    if getattr(_xb, "_backends", None):
+        import jax
+        if jax.default_backend() != "cpu":
+            import warnings
+            warnings.warn(
+                "tune_tpu_for_long_sequence called after TPU backend init: "
+                "LIBTPU_INIT_ARGS can no longer take effect; keeping the "
+                "default scoped-VMEM partition (q-blocked kernel). Call it "
+                "before the first device use (or run long-N models in their "
+                "own process) for the fast single-q-block config.")
+            return False
+    flag = f"--xla_tpu_scoped_vmem_limit_kib={LONG_N_SCOPED_VMEM_KIB}"
+    os.environ["LIBTPU_INIT_ARGS"] = (prev + " " + flag).strip()
     os.environ[SCOPED_VMEM_MARKER] = str(LONG_N_SCOPED_VMEM_KIB)
     return True
 
