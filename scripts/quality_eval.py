@@ -13,6 +13,13 @@ Mirrors the reference's quality protocol (multi-label val mAP as in
 utils.py:206-245, update_log.md:35) on data this environment can produce.
 
   python scripts/quality_eval.py [--steps N] [--batch B] [--eval N]
+      [--model ZOO_NAME] [--chunk N]
+
+--model picks any zoo config (square size scales with resolution; long-N
+models get the shipped serving setup: scoped-VMEM raise, single-q-block
+kernel, rollout_post).  --chunk bounds the per-dispatch eval batch — the
+ViT-L@384 rollout_post hm stack is [24, B, 577, 577] f32, so eval at
+B=128 needs chunking on a 16 GB chip.
 """
 
 from __future__ import annotations
@@ -41,41 +48,43 @@ CLASS_FREQ = _rng.randint(2, 6, size=NUM_CLASSES)
 
 def make_batch(seed: int, n: int, img: int = 224, with_seg: bool = False):
     """n images with 1-3 of 20 classes each; a present class contributes a
-    56x56 textured square at a random location over a noise background.
+    textured square (56x56 at 224px, scaled with resolution) at a random
+    location over a noise background.
 
     with_seg: also return the ground-truth segmentation masks [n, img, img]
     uint8 (0 = background, c+1 = class c — the VOC label convention), known
     exactly from the generated square locations.  This is what lets the
     synthetic substitute score the END artifact of validate.py:248-285
     (pseudo-seg mIoU) per serving mode."""
+    sq = 56 * img // 224  # same object/image area ratio at every resolution
     r = np.random.RandomState(seed)
     images = r.normal(0.0, 0.25, size=(n, img, img, 3)).astype(np.float32)
     labels = np.zeros((n, NUM_CLASSES), np.float32)
     segs = np.zeros((n, img, img), np.uint8) if with_seg else None
-    yy, xx = np.mgrid[0:56, 0:56]
+    yy, xx = np.mgrid[0:sq, 0:sq]
     for i in range(n):
         for c in r.choice(NUM_CLASSES, size=r.randint(1, 4), replace=False):
             labels[i, c] = 1.0
-            y0 = r.randint(0, img - 56)
-            x0 = r.randint(0, img - 56)
+            y0 = r.randint(0, img - sq)
+            x0 = r.randint(0, img - sq)
             tex = np.sin((xx + yy) * (np.pi / CLASS_FREQ[c]))[..., None]
             patch = CLASS_COLOR[c][None, None, :] * (0.75 + 0.25 * tex)
-            images[i, y0:y0 + 56, x0:x0 + 56] += patch.astype(np.float32)
+            images[i, y0:y0 + sq, x0:x0 + sq] += patch.astype(np.float32)
             if with_seg:
-                segs[i, y0:y0 + 56, x0:x0 + 56] = c + 1
+                segs[i, y0:y0 + sq, x0:x0 + sq] = c + 1
     if with_seg:
         return jnp.asarray(images), jnp.asarray(labels), segs
     return jnp.asarray(images), jnp.asarray(labels)
 
 
-def finetune(steps: int, batch: int):
+def finetune(steps: int, batch: int, model: str):
     from vision_transformer_cam_tpu.train.state import (create_train_state,
                                                         make_optimizer)
     from vision_transformer_cam_tpu.train.step import train_step
 
-    cfg = configs.vit_base_patch16_224_in21k(num_classes=NUM_CLASSES,
-                                             has_logits=False)
-    cfg = cfg.replace(dtype=jnp.bfloat16, param_dtype=jnp.float32,
+    cfg = configs.resolve_model(model)(num_classes=NUM_CLASSES)
+    cfg = cfg.replace(representation_size=None,
+                      dtype=jnp.bfloat16, param_dtype=jnp.float32,
                       attn_impl="pallas", drop_ratio=0.0,
                       attn_drop_ratio=0.0, drop_path_ratio=0.0)
     params = vit.init(cfg, jax.random.key(0))
@@ -87,7 +96,7 @@ def finetune(steps: int, batch: int):
     rng = jax.random.key(42)
     t0 = time.perf_counter()
     for s in range(steps):
-        images, labels = make_batch(1000 + s, batch)
+        images, labels = make_batch(1000 + s, batch, img=cfg.img_size)
         state, m = train_step(state, images, labels, rng, cfg, tx)
         if s % 25 == 0 or s == steps - 1:
             print(f"  step {s:4d}  loss {float(m['loss']):.4f}  "
@@ -96,7 +105,8 @@ def finetune(steps: int, batch: int):
     return jax.device_get(state.params)
 
 
-def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None):
+def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None,
+              chunk=0):
     from vision_transformer_cam_tpu.cam.pseudo_seg import pseudo_seg_batch
     from vision_transformer_cam_tpu.utils.metrics import ConfusionMatrix
 
@@ -106,10 +116,24 @@ def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None):
         cam = rollout.cam_from_rollout_row(out.rollout_row, cfg.grid_size)
         return out, cam
 
-    out, cam = fwd(params, images)
-    logits, h1, topi = jax.device_get((out.logits, out.head1_logits,
+    # chunked eval: long-N models (ViT-L@384's rollout_post hm stack is
+    # [24, B, 577, 577] f32) don't fit the whole eval set on a 16 GB chip
+    n_total = int(images.shape[0])
+    chunk = chunk or n_total
+    logits_l, h1_l, topi_l, cam_l, preds_l = [], [], [], [], []
+    pcfg = configs.PseudoSegConfig()
+    for lo in range(0, n_total, chunk):
+        out, cam_c = fwd(params, images[lo:lo + chunk])
+        lg, h1c, tic = jax.device_get((out.logits, out.head1_logits,
                                        out.top_patch_idx))
-    cam = np.asarray(jax.device_get(cam))
+        logits_l.append(lg), h1_l.append(h1c), topi_l.append(tic)
+        cam_l.append(np.asarray(jax.device_get(cam_c)))
+        if seg_gt is not None:
+            n_c = lg.shape[0]
+            preds_l.extend(pseudo_seg_batch(out, cfg, pcfg,
+                                            [seg_gt.shape[1:]] * n_c))
+    logits, h1 = np.concatenate(logits_l), np.concatenate(h1_l)
+    topi, cam = np.concatenate(topi_l), np.concatenate(cam_l)
     lab = np.asarray(labels)
     m196 = compute_mAP(lab, 1 / (1 + np.exp(-logits.astype(np.float32))))
     m16 = compute_mAP(lab, 1 / (1 + np.exp(-h1.astype(np.float32))))
@@ -120,10 +144,7 @@ def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None):
         # the END artifact (validate.py:248-285): full pseudo-seg pipeline,
         # scored as mIoU vs the known synthetic square masks (filler ids
         # > num_classes fold to background, as cli/validate.py scores it)
-        pcfg = configs.PseudoSegConfig()
-        preds = pseudo_seg_batch(out, cfg, pcfg,
-                                 [seg_gt.shape[1:]] * seg_gt.shape[0])
-        preds = np.stack(preds).astype(np.int64)
+        preds = np.stack(preds_l).astype(np.int64)
         preds[preds > NUM_CLASSES] = 0
         cm = ConfusionMatrix(NUM_CLASSES)
         cm.update(seg_gt.reshape(-1).astype(np.int64), preds.reshape(-1))
@@ -160,19 +181,27 @@ def main():
     steps = arg("--steps", 300)
     batch = arg("--batch", 64)
     n_eval = arg("--eval", 256)
+    chunk = arg("--chunk", 0)
+    model = sys.argv[sys.argv.index("--model") + 1] \
+        if "--model" in sys.argv else "vit_base_patch16_224_in21k"
 
-    print(f"fine-tuning {steps} steps @ batch {batch} on synthetic data")
-    params = finetune(steps, batch)
-    images, labels, seg_gt = make_batch(9999, n_eval, with_seg=True)
-
-    base = configs.vit_base_patch16_224_in21k(num_classes=NUM_CLASSES,
-                                              has_logits=False)
+    base = configs.resolve_model(model)(num_classes=NUM_CLASSES)
     base = base.replace(representation_size=None)
+    # long-N (ViT-L@384): measure the SHIPPED serving config — raised
+    # scoped-VMEM partition, single-q-block kernel, rollout_post auto
+    from vision_transformer_cam_tpu.utils import tune_tpu_for_long_sequence
+    tune_tpu_for_long_sequence(base)
+
+    print(f"fine-tuning {model} {steps} steps @ batch {batch} "
+          "on synthetic data")
+    params = finetune(steps, batch, model)
+    images, labels, seg_gt = make_batch(9999, n_eval, img=base.img_size,
+                                        with_seg=True)
 
     f32 = base.replace(dtype=jnp.float32, param_dtype=jnp.float32)
     p32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
     truth = eval_mode("f32 exact (truth)", p32, f32, images, labels,
-                      seg_gt=seg_gt)
+                      seg_gt=seg_gt, chunk=chunk)
 
     bf = base.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                       attn_impl="pallas", gelu_approx=True,
@@ -180,21 +209,21 @@ def main():
     pbf = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     rows = [truth,
             eval_mode("bf16+pallas+tanh+clamp (serving)", pbf, bf, images,
-                      labels, truth, seg_gt)]
+                      labels, truth, seg_gt, chunk=chunk)]
 
     from vision_transformer_cam_tpu.ops.quant import (calibrate_act_scales,
                                                       quantize_params)
-    calib, _ = make_batch(777, 16)
+    calib, _ = make_batch(777, 16, img=base.img_size)
     scales = calibrate_act_scales(pbf, bf, calib)
     pq = quantize_params(pbf, act_scales=scales)
     # int8_hifi ships with output-only int8 attention I/O (float probs,
     # kernel emits int8 for the proj GEMM) — measure the shipped graph
     rows.append(eval_mode("int8_hifi (W8A8, float attn, int8-OUT)", pq,
                           bf.replace(int8_attn_out=True), images, labels,
-                          truth, seg_gt))
+                          truth, seg_gt, chunk=chunk))
     rows.append(eval_mode("int8 + attn I/O per-head (default)", pq,
                           bf.replace(int8_attn_io=True), images, labels,
-                          truth, seg_gt))
+                          truth, seg_gt, chunk=chunk))
     # the round-2 per-tensor (q|k|v thirds) scales, for the ablation record
     import copy
     pq_t = copy.copy(pq)
@@ -206,7 +235,7 @@ def main():
                            axis=2))
     rows.append(eval_mode("int8 + attn I/O per-tensor (r2)", pq_t,
                           bf.replace(int8_attn_io=True), images, labels,
-                          truth, seg_gt))
+                          truth, seg_gt, chunk=chunk))
 
     print(f"\n{'mode':36s} {'mAP_196':>8s} {'mAP_16':>8s} {'mIoU':>6s} "
           f"{'camMaxD':>8s} {'camP99.9':>8s} {'cam>1%':>7s} "
