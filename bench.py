@@ -30,7 +30,13 @@ def bench_train(batch, dtype):
     from vision_transformer_cam_tpu.train.step import train_step
 
     cfg = configs.vit_base_patch16_224_in21k(num_classes=20, has_logits=False)
-    cfg = cfg.replace(dtype=dtype, param_dtype=dtype)
+    # --mixed: the production fine-tune recipe — f32 master weights +
+    # AdamW state, bf16 compute (the configs.py default param_dtype).
+    # Plain --train keeps the all-bf16 config for row continuity.
+    if "--mixed" in sys.argv:
+        cfg = cfg.replace(dtype=dtype, param_dtype=jnp.float32)
+    else:
+        cfg = cfg.replace(dtype=dtype, param_dtype=dtype)
     if "--xla" not in sys.argv:
         cfg = cfg.replace(attn_impl="pallas")
     params = vit.init(cfg, jax.random.key(0))
@@ -60,7 +66,8 @@ def bench_train(batch, dtype):
 
     img_per_s = batch / best
     print(json.dumps({
-        "metric": "vit_b16_train_step_throughput",
+        "metric": "vit_b16_train_step_throughput"
+                  + ("_mixed" if "--mixed" in sys.argv else ""),
         "value": round(img_per_s, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
@@ -71,7 +78,7 @@ _FLAGS = {"--gelu-exact", "--stable-softmax", "--mlp-fusion", "--int8-fused",
           "--rollout-post", "--rollout-carry", "--ln-quant", "--int8",
           "--int8-hifi", "--bf16", "--f32", "--xla", "--no-int8-attn",
           "--int8-attn", "--int8-dynamic", "--no-cam", "--latency",
-          "--train"}
+          "--train", "--mixed"}
 _VALUE_FLAGS = {"--block-b", "--q-block", "--batch", "--model",
                 "--dispatch-chunks"}
 

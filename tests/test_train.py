@@ -304,3 +304,41 @@ def test_checkpoint_roundtrip_sharded_params(tmp_path):
     restored = ckptlib.restore(str(tmp_path), "sharded", st)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), st.params, restored.params)
+
+
+def test_mixed_precision_stream_stays_compute_dtype():
+    """Mixed precision (param_dtype f32, dtype bf16) must run the residual
+    stream and every GEMM in bf16: the f32 affine LN params used to promote
+    everything after LN1 to f32 (models/vit.py _layer_norm/_linear), which
+    at long N cannot even fit the attention kernels' scoped VMEM.  Grads
+    must still land on the f32 masters."""
+    cfg = TINY.replace(dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                       attn_impl="pallas")
+    params = vit.init(cfg, jax.random.key(0))
+    assert params["blocks"]["attn"]["qkv"]["kernel"].dtype == jnp.float32
+
+    import vision_transformer_cam_tpu.kernels.attention as attn_mod
+    seen = {}
+    orig = attn_mod.fused_attention_diff
+
+    def spy(qkv, bg, *a, **k):
+        seen["qkv_dtype"] = qkv.dtype
+        return orig(qkv, bg, *a, **k)
+
+    x, y = _tiny_batch(b=2)
+    try:
+        attn_mod.fused_attention_diff = spy
+
+        def loss(p):
+            out = vit.forward(p, x, cfg, train=True, rng=None)
+            return jnp.sum(out.logits.astype(jnp.float32))
+
+        grads = jax.grad(loss)(params)
+    finally:
+        attn_mod.fused_attention_diff = orig
+    assert seen["qkv_dtype"] == jnp.bfloat16
+    leaf_dtypes = {a.dtype for a in jax.tree.leaves(grads)}
+    assert leaf_dtypes == {jnp.dtype(jnp.float32)}
+    # eval logits come out in the compute dtype too
+    out = vit.forward(params, x, cfg)
+    assert out.logits.dtype == jnp.bfloat16

@@ -347,7 +347,12 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
                                                       SCOPED_VMEM_MARKER)
         if n > 512 and int(os.environ.get(SCOPED_VMEM_MARKER, "0")
                            or 0) >= LONG_N_SCOPED_VMEM_KIB:
-            q_block = n
+            # single-N-row block is the measured winner only for the
+            # SERVING softmax (clamp: one fused min, no row-max buffers).
+            # The training math (max-subtract) keeps extra [QB, N] live
+            # buffers: qb=512 measured 4.13 vs 4.87 ms/layer at qb=577
+            # (bf16, N=577, 32 MB partition — qblock_sweep --no-clamp).
+            q_block = n if clamp_softmax else 512
         elif int8_io and n > 512:
             q_block = 384 if joint is None else 224
         else:
@@ -693,7 +698,20 @@ def _fused_bwd(num_heads, scale, mask_value, clamp_softmax, residuals,
     # supervision loss), extend masked_attention_bwd accordingly or the two
     # platforms will silently disagree.
     d_out, _d_cls = cotangents
-    if jax.default_backend() == "tpu":
+    # The bwd kernel holds a whole-N working set per head (no q-blocking):
+    # at N=577 bf16 it needs ~19.3 MB — OOMs the default 16 MB scoped-VMEM
+    # partition, fits the raised long-N one (5.22 ms/layer measured; f32
+    # doesn't fit either partition and never reaches here — the dispatch
+    # routes f32 long-N to XLA).  qblock_sweep.py --bwd.
+    n = qkv.shape[-2]
+    pallas_bwd_fits = n <= 512
+    if not pallas_bwd_fits:
+        import os
+        from vision_transformer_cam_tpu.utils import (LONG_N_SCOPED_VMEM_KIB,
+                                                      SCOPED_VMEM_MARKER)
+        pallas_bwd_fits = int(os.environ.get(SCOPED_VMEM_MARKER, "0")
+                              or 0) >= LONG_N_SCOPED_VMEM_KIB
+    if jax.default_backend() == "tpu" and pallas_bwd_fits:
         d_qkv = masked_attention_bwd(
             qkv, bg, d_out, num_heads=num_heads, scale=scale,
             mask_value=mask_value, clamp_softmax=clamp_softmax)
@@ -753,7 +771,16 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
     needs_dropout = rngs and (cfg.attn_drop_ratio > 0 or cfg.drop_ratio > 0)
     no_vjp_variant = (joint is not None or need_probs == "headmean"
                       or cfg.data_axis is not None)
-    if need_probs == "perhead" or needs_dropout \
+    # f32 at long N cannot run the Pallas kernels on TPU at all: the f32
+    # buffer set exceeds the scoped-VMEM partition at EVERY q_block, under
+    # both the 16 MB default and the raised 32 MB long-N partition (fwd
+    # no-clamp swept 577/512/384/256, bwd whole-N: all OOM — see BENCHMARKS
+    # "ViT-L@384" / scripts/qblock_sweep.py --f32).  The f32 parity and
+    # full-f32 training paths at N > 512 route to XLA, which handles the
+    # same math without a VMEM-resident [N, N] working set.
+    f32_long_n = (cfg.seq_len > 512 and jnp.dtype(cfg.dtype).itemsize >= 4
+                  and jax.default_backend() == "tpu")
+    if need_probs == "perhead" or needs_dropout or f32_long_n \
             or (train and no_vjp_variant):
         from vision_transformer_cam_tpu.models.vit import _attention_xla
         return _attention_xla(ap, x, bg, cfg, rngs, need_probs,

@@ -80,10 +80,17 @@ class ViTCAMOutput(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def _layer_norm(x, scale, bias, eps):
+    # scale/bias are cast to the activation dtype: under mixed precision
+    # (param_dtype f32, dtype bf16) the f32 affine params would otherwise
+    # promote the whole residual stream — and every GEMM after LN1 — to
+    # f32 (measured: the f32 long-N training forward doesn't even fit the
+    # 16 MB scoped-VMEM partition; see BENCHMARKS "Mixed-precision
+    # training").  Identity for all non-mixed configs (f64 goldens, f32
+    # parity, bf16/int8 serving).
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * scale + bias
+    return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def _gelu(x, approx=False):
@@ -215,8 +222,13 @@ def _linear(x, p, cfg):
                 interpret=jax.default_backend() != "tpu")
         from vision_transformer_cam_tpu.ops.quant import qlinear
         return qlinear(x, p, p.get("bias"), out_dtype=cfg.dtype)
-    y = jnp.dot(x, p["kernel"], preferred_element_type=cfg.dtype)
-    return y + p["bias"] if "bias" in p else y  # qkv_bias=False omits it
+    # operands cast to cfg.dtype: under mixed precision the f32 master
+    # kernels must not promote the GEMM to f32 (XLA fuses the convert into
+    # the operand load; autodiff routes the bf16 dW back to the f32 master
+    # through the cast).  Identity for all non-mixed configs.
+    y = jnp.dot(x.astype(cfg.dtype), p["kernel"].astype(cfg.dtype),
+                preferred_element_type=cfg.dtype)
+    return y + p["bias"].astype(cfg.dtype) if "bias" in p else y
 
 
 def patch_embed(params, x, cfg: ViTCAMConfig):
@@ -554,17 +566,18 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
     top_embeds = jnp.take_along_axis(
         patch_tokens, top_idx[:, :, None], axis=1)              # [B, K, C]
     head1_in = jnp.mean(top_embeds, axis=1)
-    head1_logits = jnp.dot(head1_in, params["head1"]["kernel"],
-                           preferred_element_type=cfg.dtype) \
-        + params["head1"]["bias"]
+    head1_logits = jnp.dot(head1_in, params["head1"]["kernel"].astype(
+        cfg.dtype), preferred_element_type=cfg.dtype) \
+        + params["head1"]["bias"].astype(cfg.dtype)
 
     xf = _layer_norm(tokens, params["norm"]["scale"], params["norm"]["bias"],
                      cfg.ln_eps)
     cls_feat = xf[:, 0]
     if cfg.has_logits:
-        cls_feat = jnp.tanh(jnp.dot(cls_feat, params["pre_logits"]["kernel"],
-                                    preferred_element_type=cfg.dtype)
-                            + params["pre_logits"]["bias"])
+        cls_feat = jnp.tanh(
+            jnp.dot(cls_feat, params["pre_logits"]["kernel"].astype(
+                cfg.dtype), preferred_element_type=cfg.dtype)
+            + params["pre_logits"]["bias"].astype(cfg.dtype))
 
     aux = dict(
         rollout_row=rollout_row,
@@ -593,13 +606,15 @@ def forward(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         params, x, cfg, train=train, rng=rng, need_headmean=need_headmean,
         need_blocks=need_blocks, need_perhead=need_perhead,
         need_rollout=need_rollout)
-    logits = jnp.dot(cls_feat, params["head"]["kernel"],
-                     preferred_element_type=cfg.dtype) + params["head"]["bias"]
+    logits = jnp.dot(cls_feat, params["head"]["kernel"].astype(cfg.dtype),
+                     preferred_element_type=cfg.dtype) \
+        + params["head"]["bias"].astype(cfg.dtype)
     dist_logits = None
     if cfg.distilled:
-        dist_logits = jnp.dot(aux["dist_feat"], params["head_dist"]["kernel"],
-                              preferred_element_type=cfg.dtype) \
-            + params["head_dist"]["bias"]
+        dist_logits = jnp.dot(
+            aux["dist_feat"], params["head_dist"]["kernel"].astype(cfg.dtype),
+            preferred_element_type=cfg.dtype) \
+            + params["head_dist"]["bias"].astype(cfg.dtype)
         # train: keep the heads separate (the loss reads dist_logits so
         # head_dist actually trains — vit_model.py:414-417); eval: average
         logits = logits if train else (logits + dist_logits) / 2.0

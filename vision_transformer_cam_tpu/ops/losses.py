@@ -15,6 +15,9 @@ def multilabel_soft_margin_loss(logits, targets):
 
         -mean_b mean_c [ y log sigmoid(x) + (1 - y) log sigmoid(-x) ]
     """
+    # loss math in >= f32: bf16 log-sigmoid tails lose precision exactly
+    # where the gradient signal lives (identity for the f32/f64 paths)
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
     ls = jax.nn.log_sigmoid(logits)
     lns = jax.nn.log_sigmoid(-logits)
     per_sample = -jnp.mean(targets * ls + (1.0 - targets) * lns, axis=-1)
