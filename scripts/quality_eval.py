@@ -77,7 +77,7 @@ def make_batch(seed: int, n: int, img: int = 224, with_seg: bool = False):
     return jnp.asarray(images), jnp.asarray(labels)
 
 
-def finetune(steps: int, batch: int, model: str):
+def finetune(steps: int, batch: int, model: str, seed: int = 0):
     from vision_transformer_cam_tpu.train.state import (create_train_state,
                                                         make_optimizer)
     from vision_transformer_cam_tpu.train.step import train_step
@@ -87,16 +87,17 @@ def finetune(steps: int, batch: int, model: str):
                       dtype=jnp.bfloat16, param_dtype=jnp.float32,
                       attn_impl="pallas", drop_ratio=0.0,
                       attn_drop_ratio=0.0, drop_path_ratio=0.0)
-    params = vit.init(cfg, jax.random.key(0))
+    params = vit.init(cfg, jax.random.key(seed))
     tx, _ = make_optimizer(
         configs.OptimConfig(lr=5e-4, weight_decay=5e-5, warmup_epochs=1,
                             epochs=max(steps // 50, 2)),
         global_batch_size=batch, steps_per_epoch=50)
     state = create_train_state(params, tx)
-    rng = jax.random.key(42)
+    rng = jax.random.key(42 + seed)
     t0 = time.perf_counter()
     for s in range(steps):
-        images, labels = make_batch(1000 + s, batch, img=cfg.img_size)
+        images, labels = make_batch(1000 + s + 100000 * seed, batch,
+                                    img=cfg.img_size)
         state, m = train_step(state, images, labels, rng, cfg, tx)
         if s % 25 == 0 or s == steps - 1:
             print(f"  step {s:4d}  loss {float(m['loss']):.4f}  "
@@ -182,6 +183,11 @@ def main():
     batch = arg("--batch", 64)
     n_eval = arg("--eval", 256)
     chunk = arg("--chunk", 0)
+    # --seed N: an independent replicate (different init, train data draw
+    # and eval draw) — how run-to-run threshold-tie noise is separated from
+    # structural mode differences (the ViT-L@384 per-head-vs-per-tensor
+    # question, BENCHMARKS quality section)
+    seed = arg("--seed", 0)
     model = sys.argv[sys.argv.index("--model") + 1] \
         if "--model" in sys.argv else "vit_base_patch16_224_in21k"
 
@@ -194,9 +200,9 @@ def main():
 
     print(f"fine-tuning {model} {steps} steps @ batch {batch} "
           "on synthetic data")
-    params = finetune(steps, batch, model)
-    images, labels, seg_gt = make_batch(9999, n_eval, img=base.img_size,
-                                        with_seg=True)
+    params = finetune(steps, batch, model, seed=seed)
+    images, labels, seg_gt = make_batch(9999 + 100000 * seed, n_eval,
+                                        img=base.img_size, with_seg=True)
 
     f32 = base.replace(dtype=jnp.float32, param_dtype=jnp.float32)
     p32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
@@ -213,7 +219,7 @@ def main():
 
     from vision_transformer_cam_tpu.ops.quant import (calibrate_act_scales,
                                                       quantize_params)
-    calib, _ = make_batch(777, 16, img=base.img_size)
+    calib, _ = make_batch(777 + 100000 * seed, 16, img=base.img_size)
     scales = calibrate_act_scales(pbf, bf, calib)
     pq = quantize_params(pbf, act_scales=scales)
     # int8_hifi ships with output-only int8 attention I/O (float probs,
