@@ -127,7 +127,7 @@ def build_cfg(argv, model=None):
     # bf16 is the production serving dtype (correctness is pinned separately
     # by the f32/f64 goldens in tests/); --f32 measures the parity dtype.
     dtype = jnp.float32 if "--f32" in argv else jnp.bfloat16
-    cfg = configs.MODEL_ZOO[model](num_classes=20)
+    cfg = configs.resolve_model(model)(num_classes=20)
     cfg = cfg.replace(representation_size=None,
                       dtype=dtype, param_dtype=dtype)
     # fused Pallas attention is the fastest measured config; --xla opts out

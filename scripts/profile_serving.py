@@ -31,6 +31,11 @@ import jax.numpy as jnp
 
 
 def main():
+    from vision_transformer_cam_tpu.utils import check_cli_flags
+    check_cli_flags(sys.argv, bool_flags=("--train", "--ln-quant"),
+                    value_flags=("--batch", "--trace-dir", "--model",
+                                 "--serving", "--top"),
+                    prog="profile_serving.py")
     batch = int(sys.argv[sys.argv.index("--batch") + 1]) \
         if "--batch" in sys.argv else 512
     trace_dir = sys.argv[sys.argv.index("--trace-dir") + 1] \
@@ -43,7 +48,7 @@ def main():
 
     model = sys.argv[sys.argv.index("--model") + 1] \
         if "--model" in sys.argv else "vit_base_patch16_224_in21k"
-    cfg = configs.MODEL_ZOO[model](num_classes=20)
+    cfg = configs.resolve_model(model)(num_classes=20)
     cfg = cfg.replace(representation_size=None)
     # profile the SAME long-N config bench/export ship (scoped-VMEM raised,
     # single-q-block kernel) — otherwise the designated attribution tool

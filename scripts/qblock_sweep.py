@@ -45,6 +45,13 @@ def arg(flag, default):
 def main():
     from vision_transformer_cam_tpu.kernels.attention import (
         masked_attention_fused)
+    from vision_transformer_cam_tpu.utils import check_cli_flags
+    check_cli_flags(sys.argv,
+                    bool_flags=("--f32", "--bf16", "--post", "--no-clamp",
+                                "--bwd"),
+                    value_flags=("--batch", "--seq", "--heads", "--dh",
+                                 "--block-b"),
+                    prog="qblock_sweep.py")
 
     b = arg("--batch", 128)
     n = arg("--seq", 577)

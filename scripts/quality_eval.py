@@ -175,6 +175,12 @@ def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None,
 
 
 def main():
+    from vision_transformer_cam_tpu.utils import check_cli_flags
+    check_cli_flags(sys.argv, bool_flags=(),
+                    value_flags=("--steps", "--batch", "--eval", "--chunk",
+                                 "--seed", "--model"),
+                    prog="quality_eval.py")
+
     def arg(flag, default):
         return int(sys.argv[sys.argv.index(flag) + 1]) \
             if flag in sys.argv else default

@@ -134,3 +134,24 @@ def test_resolve_model_strict_with_alias():
         is configs.MODEL_ZOO["vit_large_patch16_384"]
     with pytest.raises(SystemExit, match="unknown model_name"):
         configs.resolve_model("vit_larg_patch16_384")
+
+
+def test_check_cli_flags_strict():
+    """utils.check_cli_flags (the scripts' shared strict parser guard):
+    a typo'd flag must exit loudly instead of being silently ignored —
+    e.g. quality_eval `--sed 1` reusing seed 0 poisons the replicate-vs-
+    structural-noise comparison the flag exists for (review finding)."""
+    from vision_transformer_cam_tpu.utils import check_cli_flags
+    # valid: bool flag, value flag, and bare positional tokens (the
+    # qblock_sweep candidate list) all pass
+    check_cli_flags(["prog", "--seed", "1", "--f32", "256", "384"],
+                    bool_flags=("--f32",), value_flags=("--seed",))
+    with pytest.raises(SystemExit, match="unknown flag --sed"):
+        check_cli_flags(["prog", "--sed", "1"],
+                        bool_flags=(), value_flags=("--seed",))
+    with pytest.raises(SystemExit, match="--seed needs a value"):
+        check_cli_flags(["prog", "--seed", "--f32"],
+                        bool_flags=("--f32",), value_flags=("--seed",))
+    with pytest.raises(SystemExit, match="needs a value"):
+        check_cli_flags(["prog", "--seed"],
+                        bool_flags=(), value_flags=("--seed",))

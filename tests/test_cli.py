@@ -286,6 +286,46 @@ def test_validate_cli_serving_int8_data_parallel(voc_tree, tmp_path,
     assert np.isfinite(res["mIoU"]) and np.isfinite(res["mAP"])
 
 
+def test_export_tunes_scoped_vmem_before_backend_query(tmp_path,
+                                                       monkeypatch):
+    """cli.export must apply utils.tune_tpu_for_long_sequence BEFORE its
+    own jax.default_backend() call: LIBTPU_INIT_ARGS is consumed exactly
+    once at backend init, so the inverted order silently bakes the
+    q-blocked 16 MB-partition kernel into long-N artifacts and records
+    scoped_vmem_kib: null in the sidecar (review finding).  Spy on
+    jax.default_backend and assert the marker is already set when main()
+    queries the backend; build_fn is stubbed out before the expensive
+    ViT-L trace."""
+    from vision_transformer_cam_tpu import utils
+    from vision_transformer_cam_tpu.cli import export as ecli
+    for var in (utils.SCOPED_VMEM_MARKER, "LIBTPU_INIT_ARGS"):
+        monkeypatch.setenv(var, "sentinel-restored-after-test")
+        monkeypatch.delenv(var)
+    seen = []
+    real = jax.default_backend
+
+    def spy():
+        seen.append(os.environ.get(utils.SCOPED_VMEM_MARKER))
+        return real()
+
+    monkeypatch.setattr(jax, "default_backend", spy)
+
+    class _Stop(Exception):
+        pass
+
+    def _stop(args):
+        raise _Stop
+
+    monkeypatch.setattr(ecli, "build_fn", _stop)
+    with pytest.raises(_Stop):
+        ecli.main(["--model_name", "vit_large_patch16_384",
+                   "--out", str(tmp_path / "never.jaxex")])
+    # the last backend query before build_fn is main()'s own: the raised
+    # partition must already be in place there
+    assert seen and seen[-1] == str(utils.LONG_N_SCOPED_VMEM_KIB)
+    assert "scoped_vmem_limit" in os.environ.get("LIBTPU_INIT_ARGS", "")
+
+
 def test_export_cli_data_parallel(tmp_path, tiny_zoo):
     """--data_parallel export: the artifact is lowered for the full
     8-device mesh (nr_devices=8) and the sharded roundtrip is

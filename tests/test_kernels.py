@@ -458,3 +458,35 @@ def test_tune_tpu_honors_user_pinned_partition(monkeypatch):
                        "--xla_tpu_scoped_vmem_limit_kib=49152")
     assert utils.tune_tpu_for_long_sequence(long_cfg)
     assert os.environ[utils.SCOPED_VMEM_MARKER] == "49152"
+
+
+def test_plain_bf16_path_honors_qblock_blockb_knobs(monkeypatch):
+    """bench's --q-block/--block-b knobs must reach the kernel on the PLAIN
+    bf16 no-rollout path too: fused_attention_diff (the custom_vjp wrapper)
+    has no q_block/block_b surface, so that branch silently benchmarked the
+    default config under any knob setting (review finding).  Spy on
+    masked_attention_fused and assert the knobs arrive — and that the
+    numbers match the knobless run."""
+    cfg = TINY.replace(attn_impl="pallas", dtype=jnp.float32,
+                       param_dtype=jnp.float32)
+    params = vit.init(cfg, jax.random.key(0))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    base = vit.apply(params, x, cfg, need_rollout=False)
+
+    seen = []
+    real = ka.masked_attention_fused
+
+    def spy(*args, **kw):
+        seen.append((kw.get("q_block", 0), kw.get("block_b", 1)))
+        return real(*args, **kw)
+
+    monkeypatch.setattr(ka, "masked_attention_fused", spy)
+    n = cfg.seq_len
+    knob = vit.apply(params, x, cfg.replace(attn_q_block=n, attn_block_b=2),
+                     need_rollout=False)
+    assert seen and all(qb == n and bb == 2 for qb, bb in seen)
+    np.testing.assert_allclose(np.asarray(base.logits),
+                               np.asarray(knob.logits), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(base.head1_logits),
+                               np.asarray(knob.head1_logits), atol=1e-5)

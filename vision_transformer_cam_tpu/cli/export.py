@@ -133,6 +133,14 @@ def main(argv=None) -> str:
     from vision_transformer_cam_tpu.utils import honor_jax_platforms_env
     honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
+    # The scoped-VMEM raise must land before jax.default_backend() below
+    # initializes the TPU backend (LIBTPU_INIT_ARGS is consumed exactly
+    # once, at init) — otherwise a long-N export silently bakes the
+    # q-blocked 16 MB-partition kernel instead of the shipped single-
+    # q-block config and the sidecar records scoped_vmem_kib: null.
+    from vision_transformer_cam_tpu.utils import tune_tpu_for_long_sequence
+    tune_tpu_for_long_sequence(
+        configs.resolve_model(args.model_name)(num_classes=args.num_classes))
     backend = jax.default_backend()
     if args.platform and args.platform != backend:
         # Cross-platform export is NOT supported: the Pallas kernels pick

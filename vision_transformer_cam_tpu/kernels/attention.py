@@ -874,7 +874,20 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
             float_dtype=cfg.dtype, block_b=bb, q_block=cfg.attn_q_block,
             interpret=jax.default_backend() != "tpu")
         hm = None
+    elif not train and (cfg.attn_q_block or cfg.attn_block_b):
+        # bench/sweep knobs set on the plain bf16 path: the custom_vjp
+        # wrapper below has no q_block/block_b surface, so honor them via a
+        # raw call (inference needs no vjp); with both knobs 0 this branch
+        # is never taken and behavior is identical
+        out, cls_row = call_fused(
+            qkv, bg, None, None, num_heads=cfg.num_heads, scale=cfg.scale,
+            mask_value=cfg.mask_value, clamp_softmax=cfg.softmax_clamp,
+            float_dtype=cfg.dtype, block_b=bb, q_block=cfg.attn_q_block,
+            interpret=jax.default_backend() != "tpu")
+        hm = None
     else:
+        # training keeps the fixed auto q_block/block_b — the sweep knobs
+        # are serving-only (fused_attention_diff's vjp has no such surface)
         out, cls_row = fused_attention_diff(qkv, bg, cfg.num_heads,
                                             cfg.scale, cfg.mask_value,
                                             cfg.softmax_clamp)

@@ -54,7 +54,25 @@ def tune_tpu_for_long_sequence(cfg) -> bool:
     # effect, so advertising 32 MB would hand the kernel an OOM config.
     # CPU/interpret runs ignore the env entirely — safe either way.
     import jax._src.xla_bridge as _xb
-    if getattr(_xb, "_backends", None):
+    init_check = getattr(_xb, "backends_are_initialized", None)
+    if init_check is not None:
+        initialized = init_check()
+    elif hasattr(_xb, "_backends"):
+        initialized = bool(_xb._backends)
+    else:
+        # jax internals changed and we cannot PROVE the backend is still
+        # uninitialized — setting the marker without the partition actually
+        # applying would hand the kernel an OOM config, so fail safe: keep
+        # the default (q-blocked, correct, ~7% slower at N=577).
+        import warnings
+        warnings.warn(
+            "tune_tpu_for_long_sequence: cannot determine backend-init "
+            "state (jax._src.xla_bridge API changed); keeping the default "
+            "scoped-VMEM partition. Set LIBTPU_INIT_ARGS="
+            f"--xla_tpu_scoped_vmem_limit_kib={LONG_N_SCOPED_VMEM_KIB} in "
+            "the environment to restore the long-N fast path.")
+        return False
+    if initialized:
         import jax
         if jax.default_backend() != "cpu":
             import warnings
@@ -69,6 +87,29 @@ def tune_tpu_for_long_sequence(cfg) -> bool:
     os.environ["LIBTPU_INIT_ARGS"] = (prev + " " + flag).strip()
     os.environ[SCOPED_VMEM_MARKER] = str(LONG_N_SCOPED_VMEM_KIB)
     return True
+
+
+def check_cli_flags(argv, bool_flags, value_flags, prog="script"):
+    """Strict sys.argv validation for the hand-rolled script parsers
+    (scripts/quality_eval.py, qblock_sweep.py, profile_serving.py): reject
+    unknown/misspelled flags and value flags missing their value.  A typo'd
+    `--sed 1` silently reusing seed 0 poisons exactly the replicate-vs-
+    structural-noise comparison the flag exists for (review finding; bench.py
+    carries its own copy of this check, pinned by test)."""
+    bool_flags, value_flags = set(bool_flags), set(value_flags)
+    i = 1
+    while i < len(argv):
+        tok = argv[i]
+        if tok in value_flags:
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                raise SystemExit(f"{prog}: {tok} needs a value")
+            i += 2
+            continue
+        if tok.startswith("--") and tok not in bool_flags:
+            raise SystemExit(
+                f"{prog}: unknown flag {tok}; known: "
+                f"{' '.join(sorted(bool_flags | value_flags))}")
+        i += 1
 
 
 def same_seeds(seed: int):
