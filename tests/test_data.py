@@ -242,3 +242,25 @@ def test_save_indexed_png_rejects_ids_over_255(tmp_path):
     labels = np.array([[0, 1], [2, 300]], np.int64)
     with pytest.raises(ValueError, match="300"):
         palette.save_indexed_png(str(tmp_path / "bad.png"), labels)
+
+
+def test_device_prefetch_multi_axis_mesh_shard_decision():
+    """device_prefetch must ask the SHARDING whether a batch lays out
+    evenly — not mesh.size: on a ('data','model') 4x2 mesh with P('data'),
+    a batch of 36 divides over the 4 data shards (36 % 8 != 0 would wrongly
+    take the replicate fallback), while a 37-batch tail must still fall
+    back to unsharded placement instead of raising (review finding)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from vision_transformer_cam_tpu.data.loader import device_prefetch
+
+    devs = np.array(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    sharding = NamedSharding(mesh, P("data"))
+    batches = [{"image": np.zeros((36, 4, 4, 3), np.float32)},
+               {"image": np.zeros((37, 4, 4, 3), np.float32)}]
+    out = list(device_prefetch(iter(batches), sharding=sharding, size=2))
+    assert out[0]["image"].sharding.is_equivalent_to(sharding, 4)
+    # the indivisible tail arrives on device, just not batch-sharded
+    assert not out[1]["image"].sharding.is_equivalent_to(sharding, 4)

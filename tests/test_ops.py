@@ -103,3 +103,19 @@ def test_pos_embed_interpolation_shapes():
     out = interpolate.interpolate_pos_embed(pe, 14, 24, num_tokens=1)
     assert out.shape == (1, 1 + 24 * 24, 8)
     np.testing.assert_allclose(np.asarray(out[:, :1]), np.asarray(pe[:, :1]))
+
+
+def test_bg_rollout_row_rejects_non_square_slice():
+    """A distilled cls-row stack (N = g*g + 2) sliced with the default
+    prefix_tokens=1 leaves a non-square patch row — must raise with the
+    fix spelled out instead of silently shifting the grid by one (the
+    sibling CAM helpers catch this via _prefix; bg_rollout_row has no
+    grid_size arg, so it checks squareness — review finding)."""
+    rng = np.random.default_rng(0)
+    n_distilled = 14 * 14 + 2
+    cls_rows = jnp.asarray(rng.random((12, 2, n_distilled)), jnp.float32)
+    with pytest.raises(ValueError, match="prefix_tokens=cfg.num_tokens"):
+        rollout.bg_rollout_row(cls_rows, from_block=5)
+    ok = rollout.bg_rollout_row(cls_rows, from_block=5, prefix_tokens=2)
+    assert ok.shape == (2, 14 * 14)
+    assert np.isfinite(np.asarray(ok)).all()

@@ -85,7 +85,10 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[dict]:
         idx, is_pad = self._epoch_indices_with_pad()
-        nb = len(self)
+        # batch count from the indices just built (len(self) would redo the
+        # permutation+stripe work and could silently drift from idx)
+        nb = len(idx) // self.batch_size if self.drop_last \
+            else -(-len(idx) // self.batch_size)
         emit_pad = self.process_count > 1
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -178,9 +181,18 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
 
     import jax
 
-    n_shards = 1
-    if sharding is not None:
-        n_shards = getattr(getattr(sharding, "mesh", None), "size", 1)
+    def _lays_out_evenly(x):
+        # Ask the sharding itself whether x fits its partition grid —
+        # NOT mesh.size: on a ('data','model') mesh with P('data') the
+        # batch divides over the data axis only, so a batch of 36 on a
+        # 4x2 mesh IS shardable even though 36 % 8 != 0 (review finding).
+        # Works for any Sharding type; shard_shape raises on a shape that
+        # cannot be laid out evenly.
+        try:
+            sharding.shard_shape(x.shape)
+            return True
+        except (ValueError, AssertionError):
+            return False
 
     def put_one(x):
         if sharding is None:
@@ -189,7 +201,7 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
             global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
             return jax.make_array_from_process_local_data(sharding, x,
                                                           global_shape)
-        if x.shape[0] % n_shards:
+        if not _lays_out_evenly(x):
             return jax.device_put(x)       # partial tail batch: replicate
         return jax.device_put(x, sharding)
 

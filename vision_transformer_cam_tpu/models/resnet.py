@@ -109,11 +109,10 @@ def return_cam(features, fc_kernel, class_ids):
     features: [h, w, C]; fc_kernel: [C, num_classes]; class_ids: ints.
     Returns [len(ids), h, w] uint8."""
     import numpy as np
+
+    from vision_transformer_cam_tpu.cam.render import cam_norm
     feats = np.asarray(features).reshape(-1, features.shape[-1])  # [hw, C]
-    cams = []
-    for c in class_ids:
-        cam = feats @ np.asarray(fc_kernel[:, c])
-        cam = cam.reshape(features.shape[0], features.shape[1])
-        cam = cam - cam.min()
-        cams.append(np.uint8(255 * cam / max(cam.max(), 1e-12)))
+    cams = [cam_norm(
+        (feats @ np.asarray(fc_kernel[:, c])).reshape(features.shape[:2]))
+        for c in class_ids]
     return np.stack(cams)

@@ -274,8 +274,12 @@ def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs,
         attn = jnp.minimum(attn, 80.0)
     probs = jax.nn.softmax(attn, axis=-1)
 
-    headmean = jnp.mean(probs, axis=1)            # [B, N, N]
-    cls_row = headmean[:, 0, :]                    # [B, N]
+    # cls_row directly from the cls query row — the full [B, N, N] headmean
+    # reduction (N× the work) is only materialized when a consumer asked
+    # for it (need_probs); XLA is not guaranteed to narrow the reduce
+    # through the row-0 slice on its own
+    cls_row = jnp.mean(probs[:, :, 0, :], axis=1)  # [B, N]
+    headmean = jnp.mean(probs, axis=1) if need_probs else None
 
     probs_used = _dropout(rngs.get("attn"), cfg.attn_drop_ratio, probs) \
         if rngs else probs
@@ -286,7 +290,7 @@ def _attention_xla(ap, x, bg, cfg: ViTCAMConfig, rngs, need_probs,
     if rngs:
         out = _dropout(rngs.get("proj"), cfg.drop_ratio, out)
     ph = probs if need_probs == "perhead" else None
-    hm = headmean if need_probs else None
+    hm = headmean
     if hm is not None and hm_dtype is not None:
         hm = hm.astype(hm_dtype)
     return out, cls_row, hm, ph, None
@@ -452,7 +456,11 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                 joint=joint if fuse_rollout else None,
                 hm_dtype=rollout_dtype if rollout_post else None,
                 train=train)
-            if use_rng:
+            if use_rng and cfg.drop_path_ratio > 0:
+                # static gate: dp is a traced scan input, so _drop_path
+                # cannot skip rate==0 itself — at the default ratio 0.0
+                # this removes two guaranteed-no-op RNG draws per layer
+                # from the remat'd scan body
                 o = _drop_path(rngs["dp1"], dp, o)
             tok = tok + o
         f1, f2 = lp["mlp"]["fc1"], lp["mlp"]["fc2"]
@@ -502,7 +510,8 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
             ymlp = _linear(hmid, f2, cfg)
         if use_rng:
             ymlp = _dropout(rngs["mlp2"], cfg.drop_ratio, ymlp)
-            ymlp = _drop_path(rngs["dp2"], dp, ymlp)
+            if cfg.drop_path_ratio > 0:   # static gate, see dp1 above
+                ymlp = _drop_path(rngs["dp2"], dp, ymlp)
         tok = tok + ymlp
 
         # Recompute the bg mask from this block's attention when i >= mask_from

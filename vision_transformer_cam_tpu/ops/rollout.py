@@ -140,4 +140,17 @@ def bg_rollout_row(cls_rows, from_block: int,
     row = jnp.mean(cls_rows[from_block:], axis=0)
     aug0 = aug_cls_row(row)
     m = aug0[:, prefix_tokens:]
+    # No grid_size arg here (the output stays a flat patch row), so the
+    # _prefix exact-fit guard the sibling CAM helpers use doesn't apply —
+    # but the result must still be a g*g patch grid downstream.  A
+    # distilled row (cls + dist, N = g*g + 2) sliced with the default
+    # prefix 1 leaves g*g + 1 entries: catch that here instead of as an
+    # opaque reshape error (or a silently shifted grid) at the call site.
+    n_patch = m.shape[-1]
+    g = int(round(float(n_patch) ** 0.5))
+    if g * g != n_patch:
+        raise ValueError(
+            f"bg rollout row has {n_patch} patch entries after dropping "
+            f"{prefix_tokens} prefix token(s) — not a square patch grid; "
+            "pass prefix_tokens=cfg.num_tokens (2 for distilled models)")
     return m / jnp.max(m, axis=-1, keepdims=True)
