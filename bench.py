@@ -80,7 +80,7 @@ _FLAGS = {"--gelu-exact", "--stable-softmax", "--mlp-fusion", "--int8-fused",
           "--int8-attn", "--int8-dynamic", "--no-cam", "--latency",
           "--train", "--mixed"}
 _VALUE_FLAGS = {"--block-b", "--q-block", "--batch", "--model",
-                "--dispatch-chunks"}
+                "--dispatch-chunks", "--precision"}
 
 
 def _check_flags(argv):
@@ -159,6 +159,11 @@ def build_cfg(argv, model=None):
         # query rows per attention-kernel block (0 = auto)
         cfg = cfg.replace(
             attn_q_block=int(argv[argv.index("--q-block") + 1]))
+    if "--precision" in argv:
+        # matmul pass precision ("highest" = true-f32 passes; TPU default
+        # lowers f32 dots to bf16 passes — BENCHMARKS "f32 fidelity on TPU")
+        cfg = cfg.replace(
+            matmul_precision=argv[argv.index("--precision") + 1])
     use_int8 = ("--int8" in argv or "--int8-hifi" in argv
                 or not ("--bf16" in argv or "--f32" in argv))
     # --int8-hifi == serving mode "int8_hifi": W8A8 GEMMs, float attention

@@ -210,7 +210,13 @@ def main():
     images, labels, seg_gt = make_batch(9999 + 100000 * seed, n_eval,
                                         img=base.img_size, with_seg=True)
 
-    f32 = base.replace(dtype=jnp.float32, param_dtype=jnp.float32)
+    # "highest": on TPU the default matmul precision runs f32 dots as bf16
+    # passes (~5e-3 CAM dev vs f64 — BENCHMARKS "f32 fidelity on TPU"), so
+    # the truth baseline pins true-f32 passes.  (The tables' conclusions
+    # pre-date this pin but are insensitive: threshold-tie density dwarfs a
+    # 5e-3 baseline shift in every replicate.)
+    f32 = base.replace(dtype=jnp.float32, param_dtype=jnp.float32,
+                       matmul_precision="highest")
     p32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
     truth = eval_mode("f32 exact (truth)", p32, f32, images, labels,
                       seg_gt=seg_gt, chunk=chunk)

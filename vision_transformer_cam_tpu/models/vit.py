@@ -610,7 +610,26 @@ def forward(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
     """Full forward (vit_model.py:411-424): features -> cls head, returning the
     structured equivalent of the reference 6-tuple.  Unjitted — differentiable
     and composable inside a larger jitted train step; `apply` below is the
-    jitted inference entry point."""
+    jitted inference entry point.
+
+    cfg.matmul_precision: traced under jax.default_matmul_precision so the
+    setting reaches every dot in the graph — XLA einsums and the Pallas
+    kernels' in-kernel matmuls alike (cfg is a jit-static arg, so distinct
+    precisions compile distinct programs)."""
+    if cfg.matmul_precision:
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _forward(params, x, cfg, train=train, rng=rng,
+                            need_headmean=need_headmean,
+                            need_blocks=need_blocks,
+                            need_perhead=need_perhead,
+                            need_rollout=need_rollout)
+    return _forward(params, x, cfg, train=train, rng=rng,
+                    need_headmean=need_headmean, need_blocks=need_blocks,
+                    need_perhead=need_perhead, need_rollout=need_rollout)
+
+
+def _forward(params, x, cfg: ViTCAMConfig, *, train, rng, need_headmean,
+             need_blocks, need_perhead, need_rollout) -> ViTCAMOutput:
     cls_feat, aux = forward_features(
         params, x, cfg, train=train, rng=rng, need_headmean=need_headmean,
         need_blocks=need_blocks, need_perhead=need_perhead,

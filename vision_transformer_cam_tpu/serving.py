@@ -11,7 +11,11 @@ model into a production-serving one with:
 Modes
 -----
 - "off":  reference-parity f32 graph (the f64/f32 goldens' path); params
-          and cfg are returned unchanged.
+          and cfg are returned unchanged.  NOTE: on TPU the backend-default
+          matmul precision runs f32 dots as bf16 passes (~5e-3 CAM dev vs
+          f64); for the strict ≤1e-5 parity class set
+          cfg.matmul_precision="highest" (BENCHMARKS "f32 fidelity on
+          TPU").
 - "bf16": bf16 activations+params, tanh GELU, clamp softmax, fused Pallas
           attention — quality cost <= 0.0001 mAP on trained weights.
 - "int8": bf16 mode plus W8A8 GEMMs with static calibrated activation
