@@ -152,6 +152,18 @@ class ViTCAMConfig:
     # sharded entry points (validate/export --data_parallel) set it when
     # attn_impl == "pallas".
     data_axis: Optional[str] = None
+    # multi-device long-sequence serving: name of the mesh axis the TOKEN
+    # (sequence) dimension is sharded over (e.g. "seq").  Sequence
+    # parallelism for shapes where the per-device [B, N, N] attention /
+    # rollout footprint is the limit (ViT-L@384's N=577, or batch-1 latency
+    # serving): the residual stream, bg indicator and rollout joint are
+    # sharded over N via GSPMD sharding constraints; XLA inserts the
+    # all-gather of K/V rows for each attention (Megatron-SP-style) and the
+    # psum for the rollout joint contraction over ICI.  XLA-attention path
+    # only — the Pallas kernels' shard_map wrap is batch-axis (data_axis);
+    # forward() raises if both are requested.  Composes with data_axis
+    # (batch over data x tokens over seq).
+    seq_axis: Optional[str] = None
 
     @property
     def grid_size(self) -> int:

@@ -33,6 +33,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec
 
 from vision_transformer_cam_tpu.configs import ViTCAMConfig
 
@@ -314,17 +315,11 @@ def _mask_from_cls_row(cls_row, cfg: ViTCAMConfig):
     return mask14, bg
 
 
-def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
-                     need_headmean=False, need_blocks=False,
-                     need_perhead=False, need_rollout=False):
-    """vit_model.py:303-408 as a scan.  x: [B, H, W, C]."""
-    if train and cfg.softmax_clamp:
-        # clamp-softmax is a SERVING-only knob: the backward kernels (and
-        # the XLA fallback) differentiate un-clamped softmax, so training
-        # through min(s, 80) would silently produce wrong gradients
-        # whenever the clamp engages.  Neutralize it here — the training
-        # forward then matches the math its backward differentiates.
-        cfg = cfg.replace(softmax_clamp=False)
+def embed_tokens(params, x, cfg: ViTCAMConfig):
+    """Embedding prologue (vit_model.py:303-317): patch embed, prefix-token
+    broadcast (cls, + dist when distilled), positional embedding.  Shared by
+    forward_features and the pipeline-parallel runner (parallel/pipeline.py).
+    x: [B, H, W, C] -> tokens [B, N, D] (pre position-dropout)."""
     b = x.shape[0]
     tokens = patch_embed(params["patch_embed"], x.astype(cfg.dtype), cfg)
     cls = jnp.broadcast_to(params["cls_token"].astype(cfg.dtype),
@@ -335,7 +330,50 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
         tokens = jnp.concatenate([cls, dist, tokens], axis=1)
     else:
         tokens = jnp.concatenate([cls, tokens], axis=1)
-    tokens = tokens + params["pos_embed"].astype(cfg.dtype)
+    return tokens + params["pos_embed"].astype(cfg.dtype)
+
+
+def _sp(x, cfg: ViTCAMConfig):
+    """Sequence-parallel sharding constraint: pin dim 1 (the token axis) of a
+    [B, N, ...] array to cfg.seq_axis (and dim 0 to cfg.data_axis when set).
+    GSPMD then propagates the layout through the scan — K/V all-gathers and
+    the rollout-joint psum come out as XLA collectives over ICI.  No-op
+    unless cfg.seq_axis is set; must be traced under a mesh context then."""
+    if cfg.seq_axis is None or x is None or getattr(x, "ndim", 0) < 2:
+        return x
+    spec = PartitionSpec(cfg.data_axis, cfg.seq_axis,
+                         *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
+                     need_headmean=False, need_blocks=False,
+                     need_perhead=False, need_rollout=False):
+    """vit_model.py:303-408 as a scan.  x: [B, H, W, C]."""
+    if cfg.seq_axis is not None:
+        bad = [name for name, on in
+               (("attn_impl='pallas'", cfg.attn_impl == "pallas"),
+                ("attn_block_fusion", cfg.attn_block_fusion),
+                ("mlp_fusion", cfg.mlp_fusion),
+                ("ln_quant_fusion", cfg.ln_quant_fusion),
+                ("int8_fused_gemm", cfg.int8_fused_gemm)) if on]
+        if bad:
+            raise ValueError(
+                f"cfg.seq_axis={cfg.seq_axis!r} (sequence parallelism) runs "
+                f"on the XLA path only, but {', '.join(bad)} request Pallas "
+                "kernels — their shard_map wrap partitions the BATCH axis "
+                "(cfg.data_axis) and would see sequence-sharded operands. "
+                "Drop those knobs (plain int8 qlinear GEMMs are fine) or "
+                "drop seq_axis.")
+    if train and cfg.softmax_clamp:
+        # clamp-softmax is a SERVING-only knob: the backward kernels (and
+        # the XLA fallback) differentiate un-clamped softmax, so training
+        # through min(s, 80) would silently produce wrong gradients
+        # whenever the clamp engages.  Neutralize it here — the training
+        # forward then matches the math its backward differentiates.
+        cfg = cfg.replace(softmax_clamp=False)
+    b = x.shape[0]
+    tokens = _sp(embed_tokens(params, x, cfg), cfg)
 
     use_rng = train and rng is not None
     if use_rng:
@@ -397,8 +435,10 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
     rollout_post = (need_rollout and want_post and not train
                     and not (need_headmean or need_perhead))
     carry_rollout = need_rollout and not rollout_post
-    joint0 = jnp.broadcast_to(jnp.eye(n, dtype=rollout_dtype), (b, n, n)) \
+    joint0 = _sp(jnp.broadcast_to(jnp.eye(n, dtype=rollout_dtype),
+                                  (b, n, n)), cfg) \
         if carry_rollout else jnp.zeros((), cfg.dtype)
+    bg0 = _sp(bg0, cfg)
 
     def body(carry, xs):
         tok, bg, joint = carry
@@ -531,8 +571,13 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                     preferred_element_type=jnp.promote_types(
                         jnp.float32, joint.dtype)).astype(joint.dtype)
 
+        # re-pin the carry's layout each layer under sequence parallelism —
+        # without the explicit constraint GSPMD's scan fixpoint is free to
+        # resolve the carry replicated and all-gather every layer
+        tok, bg, joint = _sp(tok, cfg), _sp(bg, cfg), _sp(joint, cfg)
         outs = (cls_row,
-                hm if (need_headmean or need_perhead or rollout_post)
+                _sp(hm, cfg) if (need_headmean or need_perhead
+                                 or rollout_post)
                 else jnp.zeros((), cfg.dtype),
                 ph if need_perhead else jnp.zeros((), cfg.dtype),
                 tok if need_blocks else jnp.zeros((), cfg.dtype))

@@ -1,7 +1,11 @@
-"""SPMD parallelism: mesh construction, sharding layouts, multi-host init.
+"""SPMD parallelism: mesh construction, sharding layouts, multi-host init,
+and the pipeline-parallel runner (parallel/pipeline.py; sequence
+parallelism lives in the model as GSPMD constraints — cfg.seq_axis).
 
 Replaces the reference's NCCL/DDP communication layer
-(distributed_utils.py, train_and_validate.py:36,142-146).
+(distributed_utils.py, train_and_validate.py:36,142-146) and extends it
+with the strategies DDP cannot express: tensor (dp x tp), sequence
+(dp x sp) and pipeline (dp x pp) sharding.
 """
 
 from vision_transformer_cam_tpu.parallel.mesh import (  # noqa: F401
