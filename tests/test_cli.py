@@ -459,3 +459,34 @@ def test_train_cli_accepts_vit_base_alias():
          "--train_img_name_path", "y", "--val_img_name_path", "z"])
     cfg = configs.resolve_model(args.model_name)(num_classes=20)
     assert cfg.embed_dim == 768 and cfg.depth == 12
+
+
+def test_validate_cli_seq_parallel(voc_tree, tmp_path, tiny_zoo,
+                                   monkeypatch):
+    """--seq_parallel N: batch over 'data' x token axis over 'seq'
+    (cfg.seq_axis GSPMD constraints) — the long-N multi-chip layout,
+    exercised end-to-end through the pseudo-seg pipeline."""
+    from vision_transformer_cam_tpu.cli import validate as vcli
+    monkeypatch.chdir(tmp_path)
+    res = vcli.main(["--model_name", tiny_zoo,
+                     "--dataset_path", str(voc_tree),
+                     "--val_img_name_path", str(_split8(voc_tree, tmp_path)),
+                     "--batch_size", "8", "--seq_parallel", "4",
+                     "--seg_pred_dir", str(tmp_path / "spseq")])
+    assert np.isfinite(res["mIoU"]) and np.isfinite(res["mAP"])
+
+
+def test_export_cli_seq_parallel(tmp_path, tiny_zoo):
+    """--seq_parallel export: the artifact is lowered for the 2x4
+    (data x seq) mesh and the sharded roundtrip is bit-identical — the
+    long-N multi-chip deployment path."""
+    import json
+
+    from vision_transformer_cam_tpu.cli import export as ecli
+    out = str(tmp_path / "tiny_sp.jaxex")
+    ecli.main(["--model_name", tiny_zoo, "--serving", "bf16",
+               "--batch", "4", "--seq_parallel", "4", "--out", out,
+               "--check"])
+    meta = json.load(open(out + ".json"))
+    assert meta["nr_devices"] == len(jax.devices())
+    assert meta["seq_parallel"] == 4

@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the batch over ALL visible devices; the "
                         "artifact then requires the same device count at "
                         "load time (multi-chip serving)")
+    p.add_argument("--seq_parallel", type=int, default=0, metavar="N",
+                   help="additionally shard the TOKEN axis over N devices "
+                        "(sequence parallelism — cfg.seq_axis): the batch "
+                        "is sharded over the remaining devices/N.  For "
+                        "long-N models (ViT-L@384) whose per-device [B,N,N] "
+                        "footprint is the limit.  XLA attention path (a "
+                        "pallas attn_impl is overridden)")
     p.add_argument("--out", type=str, required=True,
                    help="artifact path; a .json sidecar is written next "
                         "to it")
@@ -112,7 +119,16 @@ def build_fn(args):
                                              calib_images=calib)
     if args.attn_impl != "auto":
         cfg = cfg.replace(attn_impl=args.attn_impl)
-    if args.data_parallel and cfg.attn_impl == "pallas":
+    if args.seq_parallel:
+        if cfg.attn_impl == "pallas":
+            print("note: --seq_parallel runs the XLA attention path "
+                  "(the Pallas kernels' shard_map wrap is batch-axis); "
+                  "attn_impl overridden to xla")
+        # data_axis here names the batch axis for the GSPMD constraints
+        # (models/vit._sp), not a Pallas shard_map wrap
+        cfg = cfg.replace(attn_impl="xla", data_axis="data",
+                          seq_axis="seq")
+    elif args.data_parallel and cfg.attn_impl == "pallas":
         # shard_map the Pallas kernels over the mesh's batch axis — XLA's
         # auto-SPMD otherwise replicates pallas_call across devices (see
         # configs.ViTCAMConfig.data_axis); main() traces under the mesh
@@ -155,13 +171,17 @@ def main(argv=None) -> str:
             "target machine) instead")
     fn, cfg, calib_provenance = build_fn(args)
     sharding = None
-    if args.data_parallel:
+    if args.seq_parallel or args.data_parallel:
         from vision_transformer_cam_tpu.parallel import (data_sharding,
                                                          make_mesh)
-        mesh = make_mesh((-1,), ("data",))
-        if args.batch % mesh.size:
+        if args.seq_parallel:
+            mesh = make_mesh((-1, args.seq_parallel), ("data", "seq"))
+        else:
+            mesh = make_mesh((-1,), ("data",))
+        dp = mesh.shape["data"]
+        if args.batch % dp:
             raise SystemExit(f"--batch {args.batch} must be a multiple of "
-                             f"the {mesh.size}-device mesh size")
+                             f"the mesh's {dp}-way batch axis")
         sharding = data_sharding(mesh)
     spec = jax.ShapeDtypeStruct((args.batch, cfg.img_size, cfg.img_size, 3),
                                 jnp.float32, sharding=sharding)
@@ -174,7 +194,7 @@ def main(argv=None) -> str:
         # set_mesh (not `with mesh:`) supplies shard_map's context mesh
         # inside nested jit traces (the Pallas data_axis wrap); fresh ctx
         # manager per use — set_mesh's is single-use
-        return jax.set_mesh(mesh) if args.data_parallel \
+        return jax.set_mesh(mesh) if sharding is not None \
             else contextlib.nullcontext()
 
     with mesh_ctx():
@@ -194,6 +214,7 @@ def main(argv=None) -> str:
             "batch": args.batch, "img_size": cfg.img_size,
             "num_classes": args.num_classes, "with_cam": not args.no_cam,
             "nr_devices": exported.nr_devices,
+            "seq_parallel": args.seq_parallel or None,
             "platforms": list(exported.platforms),
             "calibration": calib_provenance,
             "input": "float32 [batch, H, W, 3], ImageNet-normalized",

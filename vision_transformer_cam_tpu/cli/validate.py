@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true",
                    help="shard each batch over all devices (batch_size must "
                         "divide by the device count)")
+    p.add_argument("--seq_parallel", type=int, default=0, metavar="N",
+                   help="additionally shard the TOKEN axis over N devices "
+                        "(sequence parallelism — cfg.seq_axis); batch over "
+                        "the remaining devices/N.  For long-N models "
+                        "(ViT-L@384); XLA attention path (a pallas "
+                        "attn_impl is overridden)")
     p.add_argument("--native_decode", action="store_true",
                    help="use the C++ batched JPEG pipeline (threaded "
                         "decode+resize+normalize in one call; PIL "
@@ -127,7 +133,19 @@ def val(args) -> dict:
             cfg = cfg.replace(attn_impl=impl)
 
     mesh = sharding = None
-    if args.data_parallel:
+    if args.seq_parallel:
+        from vision_transformer_cam_tpu.parallel import (data_sharding,
+                                                         make_mesh)
+        mesh = make_mesh((-1, args.seq_parallel), ("data", "seq"))
+        sharding = data_sharding(mesh)
+        if cfg.attn_impl == "pallas":
+            print("note: --seq_parallel runs the XLA attention path; "
+                  "attn_impl overridden to xla")
+        # data_axis names the batch axis for the GSPMD constraints
+        # (models/vit._sp), not a Pallas shard_map wrap
+        cfg = cfg.replace(attn_impl="xla", data_axis="data",
+                          seq_axis="seq")
+    elif args.data_parallel:
         from vision_transformer_cam_tpu.parallel import (data_sharding,
                                                          make_mesh)
         mesh = make_mesh((-1,), ("data",))
@@ -164,7 +182,8 @@ def _val_loop(args, loader_iter, params, cfg, pcfg, mesh, sharding, palette,
     for batch in loader_iter:
         images = batch["image"]
         run_cfg = cfg
-        if sharding is not None and images.shape[0] % mesh.size == 0:
+        if sharding is not None \
+                and images.shape[0] % mesh.shape["data"] == 0:
             images = jax.device_put(images, sharding)
         elif cfg.data_axis is not None:
             # partial tail batch runs unsharded: drop the shard_map wrap
