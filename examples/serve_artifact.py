@@ -103,7 +103,16 @@ def main(argv=None):
                 f"artifact was exported for {n} devices; this host has "
                 f"{len(jax.devices())}")
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
-        mesh = Mesh(jax.devices()[:n], ("data",))
+        # a --seq_parallel artifact was lowered for a (data x seq) mesh —
+        # rebuild the SAME layout (batch over data only); a flat n-way
+        # batch mesh would reject batches smaller than n and reshard every
+        # call even when they fit
+        sp = meta.get("seq_parallel") or 0
+        if sp:
+            mesh = Mesh(np.array(jax.devices()[:n]).reshape(n // sp, sp),
+                        ("data", "seq"))
+        else:
+            mesh = Mesh(jax.devices()[:n], ("data",))
         sh = NamedSharding(mesh, PartitionSpec("data"))
         put = lambda a: jax.device_put(a, sh)  # noqa: E731
 

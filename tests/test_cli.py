@@ -490,3 +490,27 @@ def test_export_cli_seq_parallel(tmp_path, tiny_zoo):
     meta = json.load(open(out + ".json"))
     assert meta["nr_devices"] == len(jax.devices())
     assert meta["seq_parallel"] == 4
+
+
+def test_serve_artifact_seq_parallel(voc_tree, tmp_path, tiny_zoo):
+    """serve_artifact on a --seq_parallel artifact: the consumer must
+    rebuild the exported (data x seq) mesh from the sidecar — a flat
+    nr_devices-way batch mesh would reject a batch smaller than the device
+    count (review finding: batch 4 on 8 devices crashed at device_put)."""
+    import importlib.util
+    import pathlib
+
+    from vision_transformer_cam_tpu.cli import export as ecli
+    out = str(tmp_path / "tiny_sp_serve.jaxex")
+    ecli.main(["--model_name", tiny_zoo, "--serving", "bf16",
+               "--batch", "4", "--seq_parallel", "4", "--out", out])
+    spec = importlib.util.spec_from_file_location(
+        "serve_artifact", pathlib.Path(__file__).resolve().parents[1]
+        / "examples/serve_artifact.py")
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+    rc = serve.main(["--artifact", out,
+                     "--images", str(voc_tree / "JPEGImages"),
+                     "--out", str(tmp_path / "served_sp")])
+    assert rc == 0
+    assert len(os.listdir(tmp_path / "served_sp")) == len(NAMES)

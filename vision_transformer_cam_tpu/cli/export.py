@@ -120,14 +120,8 @@ def build_fn(args):
     if args.attn_impl != "auto":
         cfg = cfg.replace(attn_impl=args.attn_impl)
     if args.seq_parallel:
-        if cfg.attn_impl == "pallas":
-            print("note: --seq_parallel runs the XLA attention path "
-                  "(the Pallas kernels' shard_map wrap is batch-axis); "
-                  "attn_impl overridden to xla")
-        # data_axis here names the batch axis for the GSPMD constraints
-        # (models/vit._sp), not a Pallas shard_map wrap
-        cfg = cfg.replace(attn_impl="xla", data_axis="data",
-                          seq_axis="seq")
+        from vision_transformer_cam_tpu.parallel import apply_seq_parallel
+        cfg = apply_seq_parallel(cfg)
     elif args.data_parallel and cfg.attn_impl == "pallas":
         # shard_map the Pallas kernels over the mesh's batch axis — XLA's
         # auto-SPMD otherwise replicates pallas_call across devices (see
@@ -173,9 +167,10 @@ def main(argv=None) -> str:
     sharding = None
     if args.seq_parallel or args.data_parallel:
         from vision_transformer_cam_tpu.parallel import (data_sharding,
-                                                         make_mesh)
+                                                         make_mesh,
+                                                         seq_parallel_mesh)
         if args.seq_parallel:
-            mesh = make_mesh((-1, args.seq_parallel), ("data", "seq"))
+            mesh = seq_parallel_mesh(args.seq_parallel)
         else:
             mesh = make_mesh((-1,), ("data",))
         dp = mesh.shape["data"]

@@ -134,17 +134,12 @@ def val(args) -> dict:
 
     mesh = sharding = None
     if args.seq_parallel:
-        from vision_transformer_cam_tpu.parallel import (data_sharding,
-                                                         make_mesh)
-        mesh = make_mesh((-1, args.seq_parallel), ("data", "seq"))
+        from vision_transformer_cam_tpu.parallel import (apply_seq_parallel,
+                                                         data_sharding,
+                                                         seq_parallel_mesh)
+        mesh = seq_parallel_mesh(args.seq_parallel)
         sharding = data_sharding(mesh)
-        if cfg.attn_impl == "pallas":
-            print("note: --seq_parallel runs the XLA attention path; "
-                  "attn_impl overridden to xla")
-        # data_axis names the batch axis for the GSPMD constraints
-        # (models/vit._sp), not a Pallas shard_map wrap
-        cfg = cfg.replace(attn_impl="xla", data_axis="data",
-                          seq_axis="seq")
+        cfg = apply_seq_parallel(cfg)
     elif args.data_parallel:
         from vision_transformer_cam_tpu.parallel import (data_sharding,
                                                          make_mesh)

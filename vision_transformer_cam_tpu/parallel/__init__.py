@@ -9,6 +9,7 @@ with the strategies DDP cannot express: tensor (dp x tp), sequence
 """
 
 from vision_transformer_cam_tpu.parallel.mesh import (  # noqa: F401
-    data_sharding, distributed_init, get_rank, get_world_size,
-    is_main_process, make_mesh, param_pspecs, param_shardings,
-    process_local_slice, reduce_value, replicated, shard_batch, shard_params)
+    apply_seq_parallel, data_sharding, distributed_init, get_rank,
+    get_world_size, is_main_process, make_mesh, param_pspecs,
+    param_shardings, process_local_slice, reduce_value, replicated,
+    seq_parallel_mesh, shard_batch, shard_params)

@@ -108,6 +108,38 @@ def devices_for_shape(shape: Tuple[int, ...],
     return devices[:n] if n < len(devices) else devices
 
 
+def seq_parallel_mesh(n_seq: int,
+                      devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """(-1, n_seq) ('data', 'seq') mesh: batch over the remaining devices,
+    TOKEN axis over n_seq — the sequence-parallel layout (cfg.seq_axis)."""
+    return make_mesh((-1, n_seq), ("data", "seq"), devices=devices)
+
+
+def apply_seq_parallel(cfg):
+    """Rewrite a model config for sequence parallelism over the
+    seq_parallel_mesh axes: token axis on 'seq', batch on 'data'.
+
+    The single definition of the override policy shared by the validate and
+    export CLIs (--seq_parallel): sp is the XLA attention path, so any
+    Pallas-kernel knob (a serving mode's pallas attn_impl, or the fusion
+    opt-ins) is cleared, with a printed note."""
+    pallas_knobs = [name for name, on in
+                    (("attn_impl='pallas'", cfg.attn_impl == "pallas"),
+                     ("attn_block_fusion", cfg.attn_block_fusion),
+                     ("mlp_fusion", cfg.mlp_fusion),
+                     ("ln_quant_fusion", cfg.ln_quant_fusion),
+                     ("int8_fused_gemm", cfg.int8_fused_gemm)) if on]
+    if pallas_knobs:
+        print(f"note: sequence parallelism runs the XLA attention path; "
+              f"overriding {', '.join(pallas_knobs)}")
+    # data_axis here names the batch axis for the GSPMD constraints
+    # (models/vit._sp), not a Pallas shard_map wrap
+    return cfg.replace(attn_impl="xla", attn_block_fusion=False,
+                       mlp_fusion=False, ln_quant_fusion=False,
+                       int8_fused_gemm=False, data_axis="data",
+                       seq_axis="seq")
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis batch sharding — per-host/per-chip data parallelism,
     replacing DistributedSampler (train_and_validate.py:87-88)."""

@@ -14,8 +14,9 @@ joint), the model's ONLY inter-layer state — is exactly the microbatch
 Schedule: plain GPipe-style fill-and-drain.  With S stages and M
 microbatches, tick t has stage s working on microbatch (t - s); total
 S + M - 1 ticks.  Warmup/drain ticks compute on zero/stale state and their
-outputs are simply never collected (tick outputs are gathered per stage at
-`take = stage + arange(M)`); stage 0 re-processes the last microbatch during
+outputs are simply never collected (each tick writes into fixed [M, ...]
+output buffers at index t - stage, skipped when out of range — no
+(S+M-1)-tick stacking); stage 0 re-processes the last microbatch during
 drain so no NaN-producing garbage ever enters the array flow.
 
 Semantics note: `cfg.per_sample_mask_norm=True` is REQUIRED.  The reference
@@ -85,9 +86,27 @@ def pipeline_forward(params, x, cfg: ViTCAMConfig, mesh: Mesh, *,
             "reference's batch-global mask max (vit_model.py:335) would "
             "couple samples across microbatches, making the output depend "
             "on the microbatch count.")
-    if cfg.attn_impl == "pallas" or cfg.mlp_fusion or cfg.ln_quant_fusion:
+    if (cfg.attn_impl == "pallas" or cfg.attn_block_fusion or cfg.mlp_fusion
+            or cfg.ln_quant_fusion or cfg.int8_fused_gemm):
         raise ValueError("pipeline_forward runs the XLA block path; drop "
-                         "the Pallas-kernel knobs.")
+                         "the Pallas-kernel knobs (attn_impl='pallas', "
+                         "attn_block_fusion, mlp_fusion, ln_quant_fusion, "
+                         "int8_fused_gemm).")
+    if cfg.matmul_precision:
+        # same mechanism as vit.forward: the precision must reach every dot
+        # traced below (including inside the shard_mapped tick scan)
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _pipeline_forward(
+                params, x, cfg.replace(matmul_precision=None), mesh,
+                stage_axis=stage_axis, data_axis=data_axis,
+                microbatches=microbatches, need_rollout=need_rollout)
+    return _pipeline_forward(params, x, cfg, mesh, stage_axis=stage_axis,
+                             data_axis=data_axis, microbatches=microbatches,
+                             need_rollout=need_rollout)
+
+
+def _pipeline_forward(params, x, cfg: ViTCAMConfig, mesh: Mesh, *,
+                      stage_axis, data_axis, microbatches, need_rollout):
     s = mesh.shape[stage_axis]
     depth, b, n = cfg.depth, x.shape[0], cfg.seq_len
     if depth % s:
@@ -120,7 +139,7 @@ def pipeline_forward(params, x, cfg: ViTCAMConfig, mesh: Mesh, *,
         perm = [(i, (i + 1) % s) for i in range(s)]
 
         def tick(carry, t):
-            tok, bg, joint = carry
+            tok, bg, joint, btok, bcls, brow = carry
             # inject at stage 0 (idx clamps so drain ticks re-process the
             # last microbatch instead of flowing wrapped garbage)
             idx = jnp.minimum(t, m - 1)
@@ -142,33 +161,53 @@ def pipeline_forward(params, x, cfg: ViTCAMConfig, mesh: Mesh, *,
 
             (tok, bg, joint), cls_rows = jax.lax.scan(
                 layer, (tok, bg, joint), (blk, jnp.arange(lps)))
-            out = (tok, cls_rows, joint[:, 0, :])
+            # collect into fixed [M, ...] buffers (this stage processed
+            # microbatch t - stage this tick; warmup/drain ticks are
+            # invalid and leave the buffers untouched) — stacking all
+            # S+M-1 tick outputs would inflate the collected-output
+            # footprint by (S+M-1)/M on exactly the models pp exists for
+            oidx = t - stage
+            valid = (oidx >= 0) & (oidx < m)
+            cidx = jnp.clip(oidx, 0, m - 1)
+
+            def collect(buf, val):
+                return jnp.where(valid, jax.lax.dynamic_update_index_in_dim(
+                    buf, val, cidx, 0), buf)
+
+            btok = collect(btok, tok)
+            bcls = collect(bcls, cls_rows)
+            brow = collect(brow, joint[:, 0, :])
             # hand the carry to the next stage over ICI
-            nxt = tuple(jax.lax.ppermute(a, stage_axis, perm)
-                        for a in (tok, bg, joint))
-            return nxt, out
+            tok, bg, joint = (jax.lax.ppermute(a, stage_axis, perm)
+                              for a in (tok, bg, joint))
+            return (tok, bg, joint, btok, bcls, brow), None
 
         # zeros are safe warmup state (LN of zeros is finite; warmup tick
         # outputs are never collected); local shapes come from the operands
         # — under dp the per-device microbatch is mb / dp_size
-        carry0 = (jnp.zeros_like(toks[0]), jnp.zeros_like(bgs[0]),
-                  jnp.zeros_like(joints[0]))
-        # the carry becomes stage-varying after the first ppermute; mark the
-        # (constant-zero) initial value as varying so the scan types match
-        carry0 = tuple(jax.lax.pcast(a, (stage_axis,), to="varying")
-                       for a in carry0)
-        _, (tok_ys, cls_ys, row_ys) = jax.lax.scan(
-            tick, carry0, jnp.arange(s + m - 1))
+        mbl, nl = toks.shape[1], toks.shape[2]
+        # the carry becomes stage-varying after the first ppermute (and the
+        # buffers after the first collect); mark the constant-zero initial
+        # values as varying so the scan types match.  zeros_like inherits
+        # the operand's varying axes (data, when dp-sharded); the FRESH
+        # zeros buffers start with none, so they need every axis the
+        # in-body values vary over
+        all_axes = (stage_axis,) + ((data_axis,) if data_axis else ())
+        stg = lambda a: jax.lax.pcast(a, (stage_axis,), to="varying")  # noqa: E731,E501
+        fresh = lambda a: jax.lax.pcast(a, all_axes, to="varying")  # noqa: E731,E501
+        carry0 = (stg(jnp.zeros_like(toks[0])), stg(jnp.zeros_like(bgs[0])),
+                  stg(jnp.zeros_like(joints[0])),
+                  stg(jnp.zeros_like(toks)),
+                  fresh(jnp.zeros((m, lps, mbl, nl), cfg.dtype)),
+                  fresh(jnp.zeros((m,) + joints.shape[1:2]
+                                  + joints.shape[3:], joints.dtype)))
+        (_, _, _, btok, bcls, brow) = jax.lax.scan(
+            tick, carry0, jnp.arange(s + m - 1))[0]
 
-        # this stage processed microbatch i at tick stage + i
-        take = stage + jnp.arange(m)
-        cls_stage = jnp.take(cls_ys, take, axis=0)        # [M, lps, mb, N]
-        tok_fin = jnp.take(tok_ys, take, axis=0)          # [M, mb, N, D]
-        row_fin = jnp.take(row_ys, take, axis=0)          # [M, mb, N?]
         last = stage == s - 1
-        tok_fin = jax.lax.psum(jnp.where(last, tok_fin, 0), stage_axis)
-        row_fin = jax.lax.psum(jnp.where(last, row_fin, 0), stage_axis)
-        return tok_fin, jnp.moveaxis(cls_stage, 1, 0), row_fin
+        tok_fin = jax.lax.psum(jnp.where(last, btok, 0), stage_axis)
+        row_fin = jax.lax.psum(jnp.where(last, brow, 0), stage_axis)
+        return tok_fin, jnp.moveaxis(bcls, 1, 0), row_fin
 
     shmap = jax.shard_map(
         run, mesh=mesh,
