@@ -106,3 +106,44 @@ def test_pipeline_shape_guards(setup):
     mesh = meshlib.make_mesh((3,), ("stage",), devices=jax.devices()[:3])
     with pytest.raises(ValueError, match="not divisible"):
         pplib.pipeline_forward(params, x, CFG, mesh)  # depth 8 % 3 stages
+
+
+def test_pipeline_train_step_matches_train_step(setup):
+    """pipeline_train_step (grads through the GPipe schedule, stage-sharded
+    params, optax update) produces the SAME updated parameters as the
+    standard replicated train_step on the same batch — deterministic (all
+    drop ratios 0), so the two paths differ only by collective summation
+    order."""
+    from vision_transformer_cam_tpu import configs as cfgs
+    from vision_transformer_cam_tpu.train.state import (create_train_state,
+                                                        make_optimizer)
+    from vision_transformer_cam_tpu.train.step import train_step
+    params, x, _ = setup
+    labels = jnp.zeros((8, 20), jnp.float32).at[:, :3].set(1.0)
+    mesh = meshlib.make_mesh((4,), ("stage",), devices=jax.devices()[:4])
+    tx, _ = make_optimizer(cfgs.OptimConfig(epochs=10, warmup_epochs=1),
+                           global_batch_size=8, steps_per_epoch=10)
+
+    # fresh copies: train_step donates its state buffers and the fixture
+    # params are shared module-wide
+    p_ref = jax.tree.map(jnp.copy, params)
+    st_ref, m_ref = train_step(create_train_state(p_ref, tx), x, labels,
+                               jax.random.key(1), CFG, tx)
+
+    p_pp = pplib.stage_shard_params(mesh, jax.tree.map(jnp.copy, params))
+    st_pp, m_pp = pplib.pipeline_train_step(
+        create_train_state(p_pp, tx), x, labels, CFG, tx, mesh,
+        microbatches=2)
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(st_pp.params)[0],
+            jax.tree_util.tree_flatten_with_path(st_ref.params)[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=str(kp))
+    # the updated blocks STAY stage-sharded (each stage holds depth/S
+    # layers — the parameter-memory property pp exists for)
+    k = st_pp.params["blocks"]["attn"]["qkv"]["kernel"]
+    assert k.addressable_shards[0].data.shape[0] == CFG.depth // 4, \
+        "block params were gathered/replicated by the update"

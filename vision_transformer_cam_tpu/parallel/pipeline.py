@@ -28,8 +28,12 @@ for exactly this class of use); `forward()` on one device with the same flag
 is then bit-identical, which tests/test_pipeline.py pins.
 
 Differentiable end-to-end (ppermute/psum/gather all have VJPs), so
-`jax.grad` through `pipeline_forward` gives stage-sharded block gradients —
-exercised by the grad test and __graft_entry__.dryrun_multichip.
+`jax.grad` through `pipeline_forward` gives stage-sharded block gradients;
+`pipeline_train_step` + `stage_shard_params` make that a full optimizer
+step whose updated block params STAY stage-sharded (each stage holds
+depth/S layers in HBM).  Exercised by tests/test_pipeline.py (forward,
+grad, and train-step update equality vs the single-device path) and
+__graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
@@ -255,3 +259,60 @@ def _pipeline_forward(params, x, cfg: ViTCAMConfig, mesh: Mesh, *,
         top_patch_embeds=top_embeds, top_patch_idx=top_idx,
         head1_kernel=params["head1"]["kernel"], rollout_row=rollout_row,
         tokens_prenorm=tokens)
+
+
+def stage_shard_params(mesh: Mesh, params, stage_axis: str = "stage",
+                       depth: int | None = None):
+    """Place a param pytree with the stacked block params sharded over the
+    stage axis (dim 0 — depth) and everything else replicated.
+
+    Stage s then HOLDS only its depth/S block slice in HBM — the parameter
+    memory win pipeline parallelism exists for.  pipeline_forward's
+    [L, ...] -> [S, lps, ...] reshape of a dim-0-sharded array is a local
+    view (contiguous slices land on their stage), so consuming these placed
+    params needs no relayout."""
+    s = mesh.shape[stage_axis]
+
+    def spec(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "blocks" in keys and leaf.ndim >= 1 and leaf.shape[0] % s == 0:
+            return NamedSharding(mesh, P(stage_axis))
+        return NamedSharding(mesh, P())
+
+    return jax.device_put(
+        params, jax.tree_util.tree_map_with_path(spec, params))
+
+
+def pipeline_train_step(state, images, labels, cfg: ViTCAMConfig, tx,
+                        mesh: Mesh, *, stage_axis: str = "stage",
+                        data_axis=None, microbatches=None):
+    """One optimizer step through the pipeline-parallel forward.
+
+    The pp analog of train/step.train_step (reference hot loop
+    utils.py:144-203): dual multilabel-soft-margin loss over both heads,
+    grads by autodiff through the fill-and-drain schedule (ppermute/psum
+    VJPs — GPipe-style: the backward replays the schedule in reverse; a
+    1F1B memory schedule is a possible refinement, not a semantics change),
+    optax update.  Deterministic (the pipeline blocks take no dropout
+    RNG); stochastic-regularization fine-tuning stays on the dp/tp path.
+    Pinned against train_step update equality in tests/test_pipeline.py.
+    """
+    import optax
+
+    from vision_transformer_cam_tpu.ops.losses import dual_head_loss
+    from vision_transformer_cam_tpu.train.state import TrainState
+
+    def loss_fn(params):
+        out = pipeline_forward(params, images, cfg, mesh,
+                               stage_axis=stage_axis, data_axis=data_axis,
+                               microbatches=microbatches)
+        loss, parts = dual_head_loss(out.logits, out.head1_logits, labels)
+        return loss, parts
+
+    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return (TrainState(step=state.step + 1, params=params,
+                       opt_state=opt_state),
+            {"loss": loss, **parts})
