@@ -38,6 +38,8 @@ __graft_entry__.dryrun_multichip.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -71,18 +73,23 @@ def _block_apply(lp, tok, bg, joint, i, cfg: ViTCAMConfig, need_rollout):
     return tok, bg, joint, cls_row
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "mesh", "stage_axis", "data_axis", "microbatches",
+    "need_rollout"))
 def pipeline_forward(params, x, cfg: ViTCAMConfig, mesh: Mesh, *,
                      stage_axis: str = "stage", data_axis=None,
                      microbatches=None, need_rollout=False) -> ViTCAMOutput:
     """Run the CAM forward with the block stack sharded over `stage_axis`.
 
-    params: host or replicated param pytree (blocks stacked [L, ...] as
-    built by vit.init).  x: [B, H, W, C].  `microbatches` defaults to the
-    stage count (the smallest M that fills the pipeline).  When `data_axis`
-    is given the microbatch dimension is additionally batch-sharded over it
-    (dp x pp).  Returns a ViTCAMOutput with the same fields a plain XLA-path
-    forward(need_rollout=...) fills; block internals match vit.forward
-    bit-for-bit (pinned by tests/test_pipeline.py).
+    params: host, replicated or stage_shard_params-placed param pytree
+    (blocks stacked [L, ...] as built by vit.init).  x: [B, H, W, C].
+    `microbatches` defaults to the stage count (the smallest M that fills
+    the pipeline).  When `data_axis` is given the microbatch dimension is
+    additionally batch-sharded over it (dp x pp).  Returns a ViTCAMOutput
+    with the same fields a plain XLA-path forward(need_rollout=...) fills;
+    block internals match vit.forward bit-for-bit (pinned by
+    tests/test_pipeline.py).  Jitted with the config/mesh/schedule static —
+    repeated calls with the same layout reuse the compiled program.
     """
     if not cfg.per_sample_mask_norm:
         raise ValueError(
@@ -219,8 +226,7 @@ def _pipeline_forward(params, x, cfg: ViTCAMConfig, mesh: Mesh, *,
                   mb_spec),
         out_specs=(mb_spec, P(stage_axis, None, data_axis, None),
                    P(None, data_axis, None)))
-    tok_fin, cls_all, row_fin = jax.jit(shmap)(blocks_st, tokens0, bg0,
-                                               joint0)
+    tok_fin, cls_all, row_fin = shmap(blocks_st, tokens0, bg0, joint0)
 
     tokens = tok_fin.reshape(b, n, cfg.embed_dim)
     cls_rows = cls_all.reshape(depth, b, n)                 # [L, B, N]
@@ -261,8 +267,7 @@ def _pipeline_forward(params, x, cfg: ViTCAMConfig, mesh: Mesh, *,
         tokens_prenorm=tokens)
 
 
-def stage_shard_params(mesh: Mesh, params, stage_axis: str = "stage",
-                       depth: int | None = None):
+def stage_shard_params(mesh: Mesh, params, stage_axis: str = "stage"):
     """Place a param pytree with the stacked block params sharded over the
     stage axis (dim 0 — depth) and everything else replicated.
 
@@ -283,6 +288,9 @@ def stage_shard_params(mesh: Mesh, params, stage_axis: str = "stage",
         params, jax.tree_util.tree_map_with_path(spec, params))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "tx", "mesh", "stage_axis", "data_axis", "microbatches"),
+    donate_argnames=("state",))
 def pipeline_train_step(state, images, labels, cfg: ViTCAMConfig, tx,
                         mesh: Mesh, *, stage_axis: str = "stage",
                         data_axis=None, microbatches=None):
