@@ -342,3 +342,78 @@ def test_mixed_precision_stream_stays_compute_dtype():
     # eval logits come out in the compute dtype too
     out = vit.forward(params, x, cfg)
     assert out.logits.dtype == jnp.bfloat16
+
+
+def test_zero1_opt_state_sharded_and_matches_replicated():
+    """ZeRO-1 (adamw moments sharded over 'data') must be a pure layout
+    change: 3 steps with sharded opt state produce the same params as 3
+    steps with replicated opt state, and the moments STAY sharded across
+    steps (GSPMD keeps the placement; no silent all-gather back)."""
+    mesh = meshlib.make_mesh((-1,), ("data",))
+    x, y = _tiny_batch(b=8, seed=7)
+    tx, _ = statelib.make_optimizer(
+        configs.OptimConfig(lr=1e-3, warmup_epochs=0, epochs=10,
+                            linear_lr_scaling=False),
+        global_batch_size=8, steps_per_epoch=1)
+    sh = meshlib.data_sharding(mesh)
+    xb, yb = jax.device_put(x, sh), jax.device_put(y, sh)
+
+    finals = []
+    for zero1 in (False, True):
+        params = vit.init(TINY, jax.random.key(2))
+        p = meshlib.shard_params(mesh, params)
+        st = statelib.create_train_state(p, tx)
+        if zero1:
+            st = st._replace(opt_state=meshlib.shard_opt_state(
+                mesh, st.opt_state))
+            specs = [a.sharding.spec for a in jax.tree.leaves(st.opt_state)
+                     if hasattr(a, "sharding")]
+            assert any("data" in s for s in specs), \
+                "no moment leaf got a data-axis shard"
+        with mesh:
+            for _ in range(3):
+                st, m = steplib.train_step(st, xb, yb, jax.random.key(1),
+                                           TINY, tx)
+        if zero1:
+            specs = [a.sharding.spec for a in jax.tree.leaves(st.opt_state)
+                     if hasattr(a, "sharding")]
+            assert any("data" in s for s in specs), \
+                "moments lost the ZeRO-1 sharding after an update"
+        finals.append((float(m["loss"]),
+                       jax.tree.map(np.asarray, st.params)))
+    assert finals[0][0] == pytest.approx(finals[1][0], rel=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+                 finals[0][1], finals[1][1])
+
+
+def test_grad_accum_matches_full_batch():
+    """train_step_accum(accum=4) == train_step on the same batch: the dual
+    MLSM loss is a sample mean, so averaging equal-microbatch gradients is
+    the exact full-batch gradient (reassociation tolerance only)."""
+    x, y = _tiny_batch(b=8, seed=11)
+    tx, _ = statelib.make_optimizer(
+        configs.OptimConfig(lr=1e-3, warmup_epochs=0, epochs=10,
+                            linear_lr_scaling=False),
+        global_batch_size=8, steps_per_epoch=1)
+
+    def run(accum):
+        st = statelib.create_train_state(vit.init(TINY, jax.random.key(2)),
+                                         tx)
+        if accum == 1:
+            st, m = steplib.train_step(st, x, y, jax.random.key(1), TINY, tx)
+        else:
+            st, m = steplib.train_step_accum(st, x, y, jax.random.key(1),
+                                             TINY, tx, accum)
+        return st, m
+
+    st1, m1 = run(1)
+    st4, m4 = run(4)
+    assert float(m1["loss"]) == pytest.approx(float(m4["loss"]), rel=1e-6)
+    assert float(m1["f1"]) == pytest.approx(float(m4["f1"]))
+    # adam normalizes by sqrt(nu): reassociation noise in near-zero grads
+    # is amplified toward lr-scale, hence the loose-ish atol
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5),
+        st1.params, st4.params)
+    with pytest.raises(ValueError, match="not divisible"):
+        run(3)

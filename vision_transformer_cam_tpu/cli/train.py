@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume full train state from latest checkpoint "
                         "(capability the reference lacks)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="microbatches per optimizer step (exact full-batch "
+                        "semantics; use when the effective batch exceeds "
+                        "one chip's HBM)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard the adamw moments over the data axis "
+                        "(ZeRO-1; saves (dp-1)/dp of optimizer-state HBM)")
     p.add_argument("--device", type=str, default="", help="ignored (SPMD)")
     p.add_argument("--local_rank", type=int, default=0,
                    help="accepted for parity; jax discovers processes itself")
@@ -92,7 +99,8 @@ def main(argv=None):
     train_cfg = configs.TrainConfig(
         optim=optim, batch_size=args.batch_size, seed=args.seed,
         freeze_backbone=args.freeze_layers, ckpt_dir=args.ckpt_dir,
-        mesh_shape=mesh_shape, mesh_axes=mesh_axes)
+        mesh_shape=mesh_shape, mesh_axes=mesh_axes,
+        grad_accum=args.grad_accum, zero1=args.zero1)
     dc = dict(voc12_root=args.dataset_path,
               cls_labels_path=args.cls_labels_path,
               img_size=model_cfg.img_size,

@@ -259,6 +259,12 @@ class TrainConfig:
     ckpt_dir: str = "./weights"
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel by default
     mesh_axes: Tuple[str, ...] = ("data",)
+    # gradient accumulation: microbatches per optimizer step (exact
+    # full-batch semantics — the dual MLSM loss is a sample mean)
+    grad_accum: int = 1
+    # ZeRO-1: shard the adamw moments over the 'data' axis
+    # (parallel/mesh.zero1_opt_pspecs); params stay replicated/tp-sharded
+    zero1: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

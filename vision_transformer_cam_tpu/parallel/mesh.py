@@ -20,6 +20,7 @@ import os
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -167,23 +168,31 @@ def param_pspecs(params, model_axis: Optional[str] = None):
     XLA/GSPMD inserts the reduce-scatter/all-reduce pair after proj/fc2.
     """
     def spec_for(path, leaf):
-        if model_axis is None:
-            return P()
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        if "blocks" in keys:
-            if "qkv" in keys:
-                return P(None, None, model_axis) if leaf.ndim == 3 \
-                    else P(None, model_axis)
-            if "proj" in keys and leaf.ndim == 3:
-                return P(None, model_axis, None)
-            if "fc1" in keys:
-                return P(None, None, model_axis) if leaf.ndim == 3 \
-                    else P(None, model_axis)
-            if "fc2" in keys and leaf.ndim == 3:
-                return P(None, model_axis, None)
-        return P()
+        return _model_spec(keys, leaf.ndim, model_axis)
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def _model_spec(keys, ndim: int, model_axis: Optional[str]):
+    """Tensor-parallel PartitionSpec for a param (or param-shaped optimizer
+    moment) identified by its path keys — the single definition shared by
+    param_pspecs and zero1_opt_pspecs (the mu/nu subtrees of the optax state
+    mirror the param tree, so the same name-keyed rule applies)."""
+    if model_axis is None:
+        return P()
+    if "blocks" in keys:
+        if "qkv" in keys:
+            return P(None, None, model_axis) if ndim == 3 \
+                else P(None, model_axis)
+        if "proj" in keys and ndim == 3:
+            return P(None, model_axis, None)
+        if "fc1" in keys:
+            return P(None, None, model_axis) if ndim == 3 \
+                else P(None, model_axis)
+        if "fc2" in keys and ndim == 3:
+            return P(None, model_axis, None)
+    return P()
 
 
 def param_shardings(mesh: Mesh, params, model_axis: Optional[str] = None):
@@ -194,6 +203,56 @@ def param_shardings(mesh: Mesh, params, model_axis: Optional[str] = None):
 def shard_params(mesh: Mesh, params, model_axis: Optional[str] = None):
     """Place a (host or single-device) param pytree onto the mesh."""
     return jax.device_put(params, param_shardings(mesh, params, model_axis))
+
+
+def zero1_opt_pspecs(opt_state, mesh: Mesh, data_axis: str = "data",
+                     model_axis: Optional[str] = None):
+    """ZeRO-1 layout for the optimizer state: shard every param-shaped
+    moment (adamw's mu/nu) over the `data` mesh axis.
+
+    The reference's DDP replicates optimizer state on every rank — at
+    ViT-H scale the adamw moments are 2x the params, so dp-replicated
+    state wastes (dp-1)/dp of that HBM.  The TPU-native form of ZeRO-1 is
+    just a sharding annotation: place the moments sharded over 'data' and
+    GSPMD derives the rest of the schedule (each device updates its shard
+    of the moments, the fresh params are all-gathered over ICI before the
+    next forward).  No optimizer code changes, no manual reduce-scatter —
+    the scaling-book recipe of "pick shardings, let XLA insert
+    collectives".
+
+    Per leaf: keep the tensor-parallel spec the params use (the mu/nu
+    paths contain the same 'blocks'/'qkv'/... keys), then shard the first
+    remaining axis whose length divides by the data-axis size.  Leaves
+    with no divisible free axis (small biases, LN scales) and non-param
+    leaves (step counts, schedule state) stay replicated — they are tiny.
+    """
+    dp = mesh.shape[data_axis]
+
+    def spec_for(path, leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        dt = getattr(leaf, "dtype", None)
+        if ndim == 0 or dt is None or not jnp.issubdtype(dt, jnp.floating):
+            return P()
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        base = list(_model_spec(keys, ndim, model_axis)) + [None] * ndim
+        base = base[:ndim]
+        for i in range(ndim):
+            if base[i] is None and leaf.shape[i] % dp == 0:
+                base[i] = data_axis
+                break
+        return P(*base)
+
+    return jax.tree_util.tree_map_with_path(spec_for, opt_state)
+
+
+def shard_opt_state(mesh: Mesh, opt_state, data_axis: str = "data",
+                    model_axis: Optional[str] = None):
+    """Place a freshly-initialized optimizer state onto the mesh in the
+    ZeRO-1 layout (see zero1_opt_pspecs)."""
+    specs = zero1_opt_pspecs(opt_state, mesh, data_axis, model_axis)
+    return jax.device_put(opt_state, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda s: isinstance(s, P)))
 
 
 def shard_batch(mesh: Mesh, batch):

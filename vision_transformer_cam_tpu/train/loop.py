@@ -33,7 +33,8 @@ from vision_transformer_cam_tpu.train.state import (TrainState,
                                                     create_train_state,
                                                     make_optimizer,
                                                     trainable_mask)
-from vision_transformer_cam_tpu.train.step import eval_step, train_step
+from vision_transformer_cam_tpu.train.step import (eval_step, train_step,
+                                                   train_step_accum)
 from vision_transformer_cam_tpu.utils.metrics import compute_mAP
 
 
@@ -44,14 +45,20 @@ def _log_line(path: Optional[str], text: str):
             f.write(text + "\n")
 
 
-def train_one_epoch(state, loader, rng, cfg, tx, mesh, epoch, log_every=50):
+def train_one_epoch(state, loader, rng, cfg, tx, mesh, epoch, log_every=50,
+                    grad_accum=1):
     """utils.py:144-203 as a sharded-step loop.  Returns (state, means)."""
     sums, steps = {}, 0
     sharding = meshlib.data_sharding(mesh)
     t0 = time.time()
     for batch in device_prefetch(loader, sharding):
-        state, metrics = train_step(state, batch["image"], batch["label"],
-                                    rng, cfg, tx)
+        if grad_accum > 1:
+            state, metrics = train_step_accum(
+                state, batch["image"], batch["label"], rng, cfg, tx,
+                grad_accum)
+        else:
+            state, metrics = train_step(state, batch["image"],
+                                        batch["label"], rng, cfg, tx)
         steps += 1
         # Per-step device->host sync, deliberately: the reference reads
         # loss.item() every step for the SAME per-step non-finite abort and
@@ -177,6 +184,12 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
         and mesh.shape["model"] > 1 else None
     params = meshlib.shard_params(mesh, init_params, model_axis=model_axis)
     state = create_train_state(params, tx)
+    if train_cfg.zero1:
+        # ZeRO-1: re-place the adamw moments sharded over 'data' — GSPMD
+        # derives the sharded-update + params-allgather schedule from the
+        # placement alone (parallel/mesh.zero1_opt_pspecs)
+        state = state._replace(opt_state=meshlib.shard_opt_state(
+            mesh, state.opt_state, model_axis=model_axis))
     if resume:
         tag = ckptlib.latest_tag(train_cfg.ckpt_dir)
         if tag:
@@ -217,7 +230,8 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
         for epoch in range(n_epochs):
             loader.set_epoch(epoch)
             state, tm = train_one_epoch(state, loader, rng, model_cfg, tx,
-                                        mesh, epoch, train_cfg.log_every)
+                                        mesh, epoch, train_cfg.log_every,
+                                        grad_accum=train_cfg.grad_accum)
             em = evaluate(state.params, val_loader, model_cfg, mesh)
             lr = float(schedule(state.step))
             _log_line(log_path,

@@ -76,6 +76,58 @@ def train_step(state: TrainState, images, labels, rng, cfg: ViTCAMConfig,
     return new_state, metrics
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tx", "accum_steps"),
+                   donate_argnames=("state",))
+def train_step_accum(state: TrainState, images, labels, rng,
+                     cfg: ViTCAMConfig, tx: optax.GradientTransformation,
+                     accum_steps: int):
+    """train_step with gradient accumulation: the batch is split into
+    `accum_steps` microbatches scanned sequentially, gradients averaged,
+    ONE optimizer update.  Exact full-batch semantics: the dual MLSM loss
+    is a mean over samples (ops/losses.py), so the average of equal-size
+    microbatch gradients IS the full-batch gradient — pinned by
+    test_train.py.  Use when the reference's effective batch
+    (lr = lr*bs/512 scaling, train_and_validate.py:148-149) exceeds one
+    chip's HBM: activations scale with the microbatch, optimizer math with
+    the full batch."""
+    b = images.shape[0]
+    if b % accum_steps:
+        raise ValueError(f"batch {b} not divisible by accum_steps "
+                         f"{accum_steps}")
+    mb = b // accum_steps
+    imgs = images.reshape(accum_steps, mb, *images.shape[1:])
+    lbls = labels.reshape(accum_steps, mb, *labels.shape[1:])
+    step_rng = jax.random.fold_in(rng, state.step)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def micro(carry, xs):
+        g_acc, loss_acc, parts_acc = carry
+        im, lb, i = xs
+        (loss, (parts, logits)), g = grad_fn(
+            state.params, im, lb, cfg, jax.random.fold_in(step_rng, i))
+        carry = (jax.tree.map(jnp.add, g_acc, g), loss_acc + loss,
+                 jax.tree.map(jnp.add, parts_acc, parts))
+        return carry, logits
+
+    zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+    zeros_p = {"loss_cls": jnp.zeros(()), "loss_head1": jnp.zeros(())}
+    (g_sum, loss_sum, parts_sum), logits = jax.lax.scan(
+        micro, (zeros_g, jnp.zeros(()), zeros_p),
+        (imgs, lbls, jnp.arange(accum_steps)))
+    inv = 1.0 / accum_steps
+    grads = jax.tree.map(lambda g: g * inv, g_sum)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state)
+    logits = logits.reshape(b, logits.shape[-1])
+    f1 = f1_micro(topk_by_label_count(logits, labels), labels)
+    metrics = {"loss": loss_sum * inv, "f1": f1,
+               **jax.tree.map(lambda v: v * inv, parts_sum)}
+    return new_state, metrics
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def eval_step(params, images, cfg: ViTCAMConfig):
     """Sigmoid probabilities of both heads (utils.py:221-233); AP/mAP runs on
