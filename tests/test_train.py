@@ -417,3 +417,29 @@ def test_grad_accum_matches_full_batch():
         st1.params, st4.params)
     with pytest.raises(ValueError, match="not divisible"):
         run(3)
+
+
+def test_checkpoint_roundtrip_zero1_opt_state(tmp_path):
+    """Checkpoint save/restore with ZeRO-1-sharded adamw moments: orbax
+    consumes the data-sharded moment leaves directly, and restore onto the
+    sharded template brings them back bit-identical (the fit --resume path
+    then re-places by template sharding)."""
+    mesh = meshlib.make_mesh((-1,), ("data",))
+    params = vit.init(TINY, jax.random.key(0))
+    tx, _ = statelib.make_optimizer(configs.OptimConfig(),
+                                    global_batch_size=8, steps_per_epoch=1)
+    p = meshlib.shard_params(mesh, params)
+    st = statelib.create_train_state(p, tx)
+    st = st._replace(opt_state=meshlib.shard_opt_state(mesh, st.opt_state))
+    x, y = _tiny_batch(b=8, seed=13)
+    sh = meshlib.data_sharding(mesh)
+    with mesh:
+        st, _ = steplib.train_step(st, jax.device_put(x, sh),
+                                   jax.device_put(y, sh),
+                                   jax.random.key(1), TINY, tx)
+    ckptlib.save(str(tmp_path), "zero1", st)
+    restored = ckptlib.restore(str(tmp_path), "zero1", st)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), st.opt_state, restored.opt_state)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), st.params, restored.params)
