@@ -443,3 +443,35 @@ def test_checkpoint_roundtrip_zero1_opt_state(tmp_path):
         np.asarray(a), np.asarray(b)), st.opt_state, restored.opt_state)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), st.params, restored.params)
+
+
+def test_checkpoint_cross_layout_resume_zero1_toggle(tmp_path):
+    """Toggling --zero1 between runs must not corrupt resume: a checkpoint
+    saved with replicated moments restores onto a ZeRO-1-sharded template
+    (re-sharded on restore via the template's shardings) and vice versa,
+    values identical either way."""
+    pytest.importorskip("orbax.checkpoint")
+    mesh = meshlib.make_mesh((-1,), ("data",))
+    params = vit.init(TINY, jax.random.key(4))
+    tx, _ = statelib.make_optimizer(configs.OptimConfig(),
+                                    global_batch_size=8, steps_per_epoch=1)
+    p = meshlib.shard_params(mesh, params)
+    st_rep = statelib.create_train_state(p, tx)
+    st_z = st_rep._replace(opt_state=meshlib.shard_opt_state(
+        mesh, st_rep.opt_state))
+
+    ckptlib.save(str(tmp_path), "rep", st_rep)
+    restored_z = ckptlib.restore(str(tmp_path), "rep", st_z)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), st_rep.opt_state,
+        restored_z.opt_state)
+    # the restored moments carry the TEMPLATE's (zero1) layout
+    specs = [a.sharding.spec for a in jax.tree.leaves(restored_z.opt_state)
+             if hasattr(a, "sharding")]
+    assert any("data" in s for s in specs)
+
+    ckptlib.save(str(tmp_path), "zero", st_z)
+    restored_rep = ckptlib.restore(str(tmp_path), "zero", st_rep)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), st_z.opt_state,
+        restored_rep.opt_state)
