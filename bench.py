@@ -22,14 +22,33 @@ BASELINE_IMG_PER_S = 5000.0  # BASELINE.json north-star target
 
 
 def bench_train(batch, dtype):
-    """Fine-tune step throughput (the train_and_validate.py hot loop)."""
+    """Fine-tune step throughput (the train_and_validate.py hot loop).
+
+    --accum N: gradient accumulation (train_step_accum) — N sequential
+    microbatches of batch/N, one optimizer update; throughput counts the
+    FULL batch.  The lever for effective batches beyond one chip's HBM
+    (e.g. ViT-L at batch 512 on a single v5e).
+    --model <zoo name>: any zoo config (default the flagship ViT-B/16-21k).
+    """
     from vision_transformer_cam_tpu import configs
     from vision_transformer_cam_tpu.models import vit
     from vision_transformer_cam_tpu.train.state import (create_train_state,
                                                         make_optimizer)
-    from vision_transformer_cam_tpu.train.step import train_step
+    from vision_transformer_cam_tpu.train.step import (train_step,
+                                                       train_step_accum)
 
-    cfg = configs.vit_base_patch16_224_in21k(num_classes=20, has_logits=False)
+    accum = int(sys.argv[sys.argv.index("--accum") + 1]) \
+        if "--accum" in sys.argv else 1
+    if "--model" in sys.argv:
+        name = sys.argv[sys.argv.index("--model") + 1]
+        cfg = configs.resolve_model(name)(num_classes=20)
+        if getattr(cfg, "representation_size", None):
+            cfg = cfg.replace(representation_size=None)
+        metric_model = name
+    else:
+        cfg = configs.vit_base_patch16_224_in21k(num_classes=20,
+                                                 has_logits=False)
+        metric_model = "vit_b16"
     # --mixed: the production fine-tune recipe — f32 master weights +
     # AdamW state, bf16 compute (the configs.py default param_dtype).
     # Plain --train keeps the all-bf16 config for row continuity.
@@ -44,13 +63,18 @@ def bench_train(batch, dtype):
                            steps_per_epoch=100)
     state = create_train_state(params, tx)
     images = jax.random.normal(jax.random.key(1),
-                               (batch, 224, 224, 3), jnp.float32)
+                               (batch, cfg.img_size, cfg.img_size, 3),
+                               jnp.float32)
     labels = (jax.random.uniform(jax.random.key(2), (batch, 20)) < 0.15
               ).astype(jnp.float32)
     rng = jax.random.key(3)
 
-    def step(st):
-        return train_step(st, images, labels, rng, cfg, tx)
+    if accum > 1:
+        def step(st):
+            return train_step_accum(st, images, labels, rng, cfg, tx, accum)
+    else:
+        def step(st):
+            return train_step(st, images, labels, rng, cfg, tx)
 
     state, m = step(state)
     _ = float(m["loss"])
@@ -66,8 +90,9 @@ def bench_train(batch, dtype):
 
     img_per_s = batch / best
     print(json.dumps({
-        "metric": "vit_b16_train_step_throughput"
-                  + ("_mixed" if "--mixed" in sys.argv else ""),
+        "metric": f"{metric_model}_train_step_throughput"
+                  + ("_mixed" if "--mixed" in sys.argv else "")
+                  + (f"_accum{accum}" if accum > 1 else ""),
         "value": round(img_per_s, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 3),
@@ -80,7 +105,7 @@ _FLAGS = {"--gelu-exact", "--stable-softmax", "--mlp-fusion", "--int8-fused",
           "--int8-attn", "--int8-dynamic", "--no-cam", "--latency",
           "--train", "--mixed"}
 _VALUE_FLAGS = {"--block-b", "--q-block", "--batch", "--model",
-                "--dispatch-chunks", "--precision"}
+                "--dispatch-chunks", "--precision", "--accum"}
 
 
 def _check_flags(argv):
