@@ -161,6 +161,39 @@ def test_make_splits_tool(tmp_path):
     assert line == "/JPEGImages/2007_000001.jpg /SegmentationClassAug/2007_000001.png"
 
 
+def test_make_splits_aug_list(tmp_path):
+    """--aug_list reconstructs the reference's SBD-augmented train_aug split
+    WITHOUT SegmentationClassAug on disk (docs/training.md recipe): external
+    ids — in SBD or reference line formats — are merged with VOC seg-train,
+    and the output lines are byte-identical to the reference's format
+    (/root/reference/voc12/train_aug.txt)."""
+    from vision_transformer_cam_tpu.cli import tools
+    root = tmp_path / "voc"
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    (root / "ImageSets" / "Segmentation" / "train.txt").write_text(
+        "2007_000001\n2007_000002\n")
+    (root / "ImageSets" / "Segmentation" / "val.txt").write_text(
+        "2007_000003\n")
+    # SBD list: one entry overlapping VOC train (dedup), two new, one in
+    # reference-train_aug line format (basename extraction)
+    aug = tmp_path / "sbd_ids.txt"
+    aug.write_text("2007_000002\n2008_000123\n"
+                   "/JPEGImages/2008_000456.jpg "
+                   "/SegmentationClassAug/2008_000456.png\n")
+    out = tmp_path / "splits"
+    tools.main(["make_splits", "--voc12_root", str(root),
+                "--out_dir", str(out), "--aug_list", str(aug)])
+    lines = (out / "train_aug.txt").read_text().splitlines()
+    assert lines == [
+        "/JPEGImages/2007_000001.jpg /SegmentationClassAug/2007_000001.png",
+        "/JPEGImages/2007_000002.jpg /SegmentationClassAug/2007_000002.png",
+        "/JPEGImages/2008_000123.jpg /SegmentationClassAug/2008_000123.png",
+        "/JPEGImages/2008_000456.jpg /SegmentationClassAug/2008_000456.png",
+    ]
+    tav = (out / "trainaug_val.txt").read_text().splitlines()
+    assert len(tav) == 5 and any("2007_000003" in l for l in tav)
+
+
 def test_validate_cli_pallas_impl(voc_tree, tmp_path, tiny_zoo, monkeypatch):
     from vision_transformer_cam_tpu.cli import validate as vcli
     monkeypatch.chdir(tmp_path)

@@ -28,11 +28,19 @@ def cmd_make_splits(args):
     assets, voc12/{train,val,train_aug,...}.txt) from a VOC2012 installation:
     one line per image, '/JPEGImages/<id>.jpg /SegmentationClass<Aug>/<id>.png'.
     Sources: ImageSets/Segmentation/{train,val,trainval}.txt, plus the SBD
-    aug list when SegmentationClassAug exists."""
+    aug ids — from --aug_list when given, else from an existing
+    SegmentationClassAug directory.
+
+    --aug_list reconstructs the reference's 10 582-image train_aug split
+    (/root/reference/voc12/train_aug.txt) WITHOUT the SegmentationClassAug
+    PNGs being converted yet: pass any id list — SBD's dataset/{train,val}.txt
+    concatenated, a copy of the reference's train_aug.txt itself, or one id
+    per line — and the ids are merged with VOC's own seg-train ids and
+    written against /SegmentationClassAug/.  See docs/training.md
+    "Reconstructing the train_aug split"."""
     import os
     seg_sets = os.path.join(args.voc12_root, "ImageSets", "Segmentation")
     aug_dir = os.path.join(args.voc12_root, "SegmentationClassAug")
-    has_aug = os.path.isdir(aug_dir)
     os.makedirs(args.out_dir, exist_ok=True)
 
     def write_split(name, ids, seg_folder):
@@ -42,17 +50,35 @@ def cmd_make_splits(args):
                 f.write(f"/JPEGImages/{i}.jpg /{seg_folder}/{i}.png\n")
         print(f"wrote {path} ({len(ids)} images)")
 
-    def read_ids(fname):
-        with open(os.path.join(seg_sets, fname)) as f:
-            return [l.strip().split()[0] for l in f if l.strip()]
+    def read_ids(fname, root=seg_sets):
+        # accepts bare-id lines ("2007_000032"), SBD lines, and full
+        # reference-style lines ("/JPEGImages/2007_000032.jpg /Seg.../..png")
+        with open(os.path.join(root, fname) if root else fname) as f:
+            ids = []
+            for line in f:
+                tok = line.strip().split()
+                if not tok:
+                    continue
+                ids.append(os.path.splitext(os.path.basename(tok[0]))[0])
+            return ids
+
+    aug_ids = None
+    if args.aug_list:
+        # the reference's split = VOC seg-train ∪ SBD train ∪ SBD val
+        # (the standard 10 582-image "train_aug" recipe); merging with
+        # VOC train here means an SBD-only list still reproduces it
+        aug_ids = sorted(set(read_ids(args.aug_list, root=None))
+                         | set(read_ids("train.txt")))
+    elif os.path.isdir(aug_dir):
+        aug_ids = sorted(os.path.splitext(p)[0]
+                         for p in os.listdir(aug_dir) if p.endswith(".png"))
+    has_aug = aug_ids is not None
 
     write_split("train", read_ids("train.txt"),
                 "SegmentationClassAug" if has_aug else "SegmentationClass")
     write_split("val", read_ids("val.txt"),
                 "SegmentationClassAug" if has_aug else "SegmentationClass")
     if has_aug:
-        aug_ids = sorted(os.path.splitext(p)[0]
-                         for p in os.listdir(aug_dir) if p.endswith(".png"))
         write_split("train_aug", aug_ids, "SegmentationClassAug")
         trainaug_val = sorted(set(aug_ids) | set(read_ids("val.txt")))
         write_split("trainaug_val", trainaug_val, "SegmentationClassAug")
@@ -138,6 +164,11 @@ def build_parser():
     s = sub.add_parser("make_splits")
     s.add_argument("--voc12_root", required=True)
     s.add_argument("--out_dir", default="./voc12")
+    s.add_argument("--aug_list", default="",
+                   help="external SBD/augmented id list (bare ids, SBD "
+                        "dataset/*.txt, or reference train_aug.txt format); "
+                        "merged with VOC seg-train to write train_aug.txt "
+                        "without needing SegmentationClassAug on disk yet")
     s.set_defaults(fn=cmd_make_splits)
 
     ci = sub.add_parser("make_class_indices")

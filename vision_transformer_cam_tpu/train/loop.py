@@ -50,12 +50,17 @@ def train_one_epoch(state, loader, rng, cfg, tx, mesh, epoch, log_every=50,
     """utils.py:144-203 as a sharded-step loop.  Returns (state, means)."""
     sums, steps = {}, 0
     sharding = meshlib.data_sharding(mesh)
+    # keep the microbatch stack batch-sharded across the reshape inside
+    # train_step_accum (advisor finding: without the constraint GSPMD may
+    # replicate the full batch per device when dp doesn't divide accum)
+    data_axis = "data" if ("data" in mesh.axis_names
+                           and mesh.shape["data"] > 1) else None
     t0 = time.time()
     for batch in device_prefetch(loader, sharding):
         if grad_accum > 1:
             state, metrics = train_step_accum(
                 state, batch["image"], batch["label"], rng, cfg, tx,
-                grad_accum)
+                grad_accum, data_axis=data_axis)
         else:
             state, metrics = train_step(state, batch["image"],
                                         batch["label"], rng, cfg, tx)

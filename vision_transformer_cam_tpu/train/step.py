@@ -77,20 +77,29 @@ def train_step(state: TrainState, images, labels, rng, cfg: ViTCAMConfig,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "tx", "accum_steps"),
+                   static_argnames=("cfg", "tx", "accum_steps", "data_axis"),
                    donate_argnames=("state",))
 def train_step_accum(state: TrainState, images, labels, rng,
                      cfg: ViTCAMConfig, tx: optax.GradientTransformation,
-                     accum_steps: int):
+                     accum_steps: int, data_axis: Optional[str] = None):
     """train_step with gradient accumulation: the batch is split into
     `accum_steps` microbatches scanned sequentially, gradients averaged,
-    ONE optimizer update.  Exact full-batch semantics: the dual MLSM loss
-    is a mean over samples (ops/losses.py), so the average of equal-size
-    microbatch gradients IS the full-batch gradient — pinned by
-    test_train.py.  Use when the reference's effective batch
-    (lr = lr*bs/512 scaling, train_and_validate.py:148-149) exceeds one
-    chip's HBM: activations scale with the microbatch, optimizer math with
-    the full batch."""
+    ONE optimizer update.  Exact full-batch semantics WITH THE DEFAULT ZERO
+    DROPOUT RATIOS: the dual MLSM loss is a mean over samples
+    (ops/losses.py), so the average of equal-size microbatch gradients IS
+    the full-batch gradient — pinned by test_train.py.  (With
+    drop_ratio/attn_drop/drop_path > 0 the per-microbatch rng folds draw
+    different masks than train_step's single draw: statistically
+    equivalent, not bit-identical.)  Use when the reference's effective
+    batch (lr = lr*bs/512 scaling, train_and_validate.py:148-149) exceeds
+    one chip's HBM: activations scale with the microbatch, optimizer math
+    with the full batch.
+
+    data_axis: name of the mesh axis the incoming batch dim is sharded
+    over (requires tracing under that mesh).  The reshape moves the batch
+    dim to position 1 — without an explicit constraint GSPMD may reshard
+    or replicate the microbatch stack, defeating the HBM saving; with it
+    every microbatch stays batch-sharded on its devices."""
     b = images.shape[0]
     if b % accum_steps:
         raise ValueError(f"batch {b} not divisible by accum_steps "
@@ -98,6 +107,12 @@ def train_step_accum(state: TrainState, images, labels, rng,
     mb = b // accum_steps
     imgs = images.reshape(accum_steps, mb, *images.shape[1:])
     lbls = labels.reshape(accum_steps, mb, *labels.shape[1:])
+    if data_axis is not None:
+        from jax.sharding import PartitionSpec as P
+        imgs = jax.lax.with_sharding_constraint(
+            imgs, P(None, data_axis, *([None] * (imgs.ndim - 2))))
+        lbls = jax.lax.with_sharding_constraint(
+            lbls, P(None, data_axis, *([None] * (lbls.ndim - 2))))
     step_rng = jax.random.fold_in(rng, state.step)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -106,17 +121,26 @@ def train_step_accum(state: TrainState, images, labels, rng,
         im, lb, i = xs
         (loss, (parts, logits)), g = grad_fn(
             state.params, im, lb, cfg, jax.random.fold_in(step_rng, i))
-        carry = (jax.tree.map(jnp.add, g_acc, g), loss_acc + loss,
+        # accumulate in f32: under an all-bf16 train config, summing
+        # microbatch grads in bf16 across accum steps loses low bits vs
+        # train_step's single full-batch gradient (advisor finding)
+        carry = (jax.tree.map(lambda a, x: a + x.astype(a.dtype), g_acc, g),
+                 loss_acc + loss,
                  jax.tree.map(jnp.add, parts_acc, parts))
         return carry, logits
 
-    zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+    zeros_g = jax.tree.map(
+        lambda p: jnp.zeros(p.shape, jnp.promote_types(p.dtype, jnp.float32)),
+        state.params)
     zeros_p = {"loss_cls": jnp.zeros(()), "loss_head1": jnp.zeros(())}
     (g_sum, loss_sum, parts_sum), logits = jax.lax.scan(
         micro, (zeros_g, jnp.zeros(()), zeros_p),
         (imgs, lbls, jnp.arange(accum_steps)))
     inv = 1.0 / accum_steps
-    grads = jax.tree.map(lambda g: g * inv, g_sum)
+    # cast the f32 accumulator back to the param dtype for the update (one
+    # rounding, after the mean — not accum_steps roundings during the sum)
+    grads = jax.tree.map(lambda g, p: (g * inv).astype(p.dtype),
+                         g_sum, state.params)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     new_state = TrainState(step=state.step + 1, params=params,
