@@ -58,6 +58,11 @@ def bench_train(batch, dtype):
         cfg = cfg.replace(dtype=dtype, param_dtype=dtype)
     if "--xla" not in sys.argv:
         cfg = cfg.replace(attn_impl="pallas")
+    # long-N training (ViT-L@384): the fused bwd kernel OOMs the 16 MB
+    # scoped-VMEM default and routes to XLA without the raised partition —
+    # must run before the first device use (same as the serving path)
+    from vision_transformer_cam_tpu.utils import tune_tpu_for_long_sequence
+    tune_tpu_for_long_sequence(cfg)
     params = vit.init(cfg, jax.random.key(0))
     tx, _ = make_optimizer(configs.OptimConfig(), global_batch_size=batch,
                            steps_per_epoch=100)

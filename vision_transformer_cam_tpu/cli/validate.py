@@ -174,6 +174,10 @@ def val(args) -> dict:
 def _val_loop(args, loader_iter, params, cfg, pcfg, mesh, sharding, palette,
               confmat, all_ap, ds, t0):
     n_done = 0
+    # warm end-to-end throughput (BASELINE config #3's pipeline number):
+    # the first batch absorbs the jit compile (1-5 min through the TPU
+    # tunnel), so the honest decode->device->PNG rate starts after it
+    t_warm, n_warm = None, 0
     for batch in loader_iter:
         images = batch["image"]
         run_cfg = cfg
@@ -223,6 +227,8 @@ def _val_loop(args, loader_iter, params, cfg, pcfg, mesh, sharding, palette,
         if "label" in batch:
             all_ap += compute_mAP(batch["label"], probs)
         n_done += len(batch["name"])
+        if t_warm is None:
+            t_warm, n_warm = time.time(), n_done
         desc = (f"[val] {n_done}/{len(ds)} "
                 f"mAP {np.mean(all_ap) if all_ap else float('nan'):.4f} "
                 f"({(time.time()-t0)/n_done:.3f}s/img)")
@@ -239,7 +245,16 @@ def _val_loop(args, loader_iter, params, cfg, pcfg, mesh, sharding, palette,
         "global_acc": float(acc_global),
         # nanmean: classes absent from both GT and prediction yield NaN IoU
         "mIoU": float(np.nanmean(np.asarray(iou)) * 100),
+        "n_images": n_done,
     }
+    if t_warm is not None and n_done > n_warm:
+        # JPEG decode -> normalize -> device forward -> pseudo-seg ->
+        # palette-PNG (+ CAM overlay) writes, per wall-clock second,
+        # excluding the compile-bearing first batch
+        results["img_per_s_end_to_end"] = round(
+            (n_done - n_warm) / (time.time() - t_warm), 2)
+        print(f"end-to-end (warm) throughput: "
+              f"{results['img_per_s_end_to_end']} img/s")
     print(confmat)
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
     with open(f"validating_log_{stamp}.txt", "a") as f:

@@ -338,6 +338,16 @@ def vit_large_patch16_384(num_classes: int = 1000) -> ViTCAMConfig:
                         num_classes=num_classes)
 
 
+def vit_large_patch16_512(num_classes: int = 1000) -> ViTCAMConfig:
+    """>1k-token config (BASELINE.json config #4 names ">1k tokens" as the
+    long-context stress): 512px / patch 16 -> 32x32 grid, N = 1025.  No
+    reference factory exists at this size; pos-embed interpolation
+    (io/weights.py) makes 224/384-trained weights loadable."""
+    return ViTCAMConfig(img_size=512, patch_size=16, embed_dim=1024, depth=24,
+                        num_heads=16, representation_size=None,
+                        num_classes=num_classes)
+
+
 def vit_large_patch32_224_in21k(num_classes: int = 21843,
                                 has_logits: bool = True) -> ViTCAMConfig:
     """vit_model.py:547-561"""
@@ -364,6 +374,7 @@ MODEL_ZOO = {
     "vit_large_patch16_224": vit_large_patch16_224,
     "vit_large_patch16_224_in21k": vit_large_patch16_224_in21k,
     "vit_large_patch16_384": vit_large_patch16_384,
+    "vit_large_patch16_512": vit_large_patch16_512,
     "vit_large_patch32_224_in21k": vit_large_patch32_224_in21k,
     "vit_huge_patch14_224_in21k": vit_huge_patch14_224_in21k,
 }

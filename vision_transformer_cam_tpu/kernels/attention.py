@@ -420,6 +420,232 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
     return out, cls_row
 
 
+def _attn_kernel_seq(q_ref, kv_ref, bgq_ref, bgk_ref, o_ref, cls_ref,
+                     *hm_ref, **kw):
+    """Sequence-parallel variant of the v2 kernel: this device holds a
+    TOKEN-axis shard of the q rows ([BB, NQ, C]) and the all-gathered full
+    K|V ([BB, N, 2C]); outputs cover only the local q rows.  Used inside
+    the shard_map wrap of masked_attention_seq — a q-row shard is exactly
+    a q-block range, so the kernel body is the v2 q-block loop with the
+    query tensors addressed separately from K/V.
+
+    cls_ref gets the attention row of the LOCAL row 0 (the global cls row
+    only on seq-rank 0); the wrap masks ranks > 0 and psums.  hm_ref (when
+    requested) is the local-rows slice of the head-mean matrix [BB, NQ, N].
+    """
+    scale, mask_value = kw["scale"], kw["mask_value"]
+    h, dh = kw["num_heads"], kw["head_dim"]
+    qb_size, clamp = kw["q_block"], kw["clamp_softmax"]
+    n_real = kw["n_real"]
+    bb, nq, c = q_ref.shape
+    n = kv_ref.shape[-2]
+    # real token counts (197, 577) are coprime with every mesh size, so the
+    # wrap pads the token axis to a multiple of the seq shards; padded KEY
+    # columns are killed outright (-1e9 — they must not shift the softmax
+    # the way a -100 bg key legitimately does), padded Q rows produce
+    # all-zero prob rows (denom guard) and are sliced off by the wrap
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    key_kill = jnp.where(col < n_real, 0.0, -1e9)          # [1, N]
+    for b in range(bb):
+        key_mask = bgk_ref[b, 0] * mask_value              # [N] f32
+        q_blocks = [(s0, min(qb_size, nq - s0)) for s0 in range(0, nq,
+                                                                qb_size)]
+        for (q0, qn) in q_blocks:
+            fg_q = 1.0 - bgq_ref[b, 0, q0:q0 + qn]         # [QB] f32
+            hm_acc = jnp.zeros((qn, n), jnp.float32) if hm_ref else None
+            cls_acc = jnp.zeros((1, n), jnp.float32) if q0 == 0 else None
+            for i in range(h):
+                q = q_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh]
+                k = kv_ref[b, :, i * dh:(i + 1) * dh]
+                v = kv_ref[b, :, c + i * dh:c + (i + 1) * dh]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = s + fg_q[:, None] * key_mask[None, :] + key_kill
+                if clamp:
+                    s = jnp.minimum(s, 80.0)
+                else:
+                    s = s - jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s)
+                # padded q rows see only killed keys: denom would be 0 and
+                # the division NaN — guard it (real rows always have a
+                # finite-logit key, so this only touches discarded rows)
+                denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
+                                    1e-30)
+                if q0 == 0:
+                    cls_acc = cls_acc + e[0:1, :] / denom[0:1]
+                if hm_ref:
+                    p = e / denom
+                    hm_acc = hm_acc + p
+                    ov = jnp.dot(p.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32)
+                else:
+                    ov = jnp.dot(e.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32) / denom
+                o_ref[b, q0:q0 + qn, i * dh:(i + 1) * dh] = \
+                    ov.astype(o_ref.dtype)
+            if q0 == 0:
+                cls_ref[b, 0] = (cls_acc[0] / h).astype(cls_ref.dtype)
+            if hm_ref:
+                hm_ref[0][b, q0:q0 + qn] = (hm_acc / h).astype(
+                    hm_ref[0].dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "mask_value", "with_headmean",
+                                             "interpret", "block_b",
+                                             "clamp_softmax", "hm_dtype",
+                                             "q_block", "n_real"))
+def _masked_attention_seq_local(q, kv, bg_q, bg_k, *, num_heads: int,
+                                scale: float, mask_value: float = -100.0,
+                                with_headmean: bool = False,
+                                interpret: bool = False, block_b: int = 1,
+                                clamp_softmax: bool = False, hm_dtype=None,
+                                q_block: int = 0, n_real: int = 0):
+    """Per-device pallas_call of the seq kernel.  q: [B, NQ, C] local query
+    rows; kv: [B, N, 2C] full keys|values; bg_q: [B, NQ]; bg_k: [B, N].
+    n_real: real token count (key columns >= n_real are padding — killed).
+    Returns (out [B, NQ, C], local_row0 [B, N][, headmean [B, NQ, N]])."""
+    b, nq, c = q.shape
+    n = kv.shape[-2]
+    if block_b < 1:
+        raise ValueError(f"block_b must be >= 1, got {block_b}")
+    while b % block_b:
+        block_b //= 2
+    bb = max(block_b, 1)
+    if q_block <= 0:
+        q_block = min(nq, 512)
+    q_block = min(q_block, nq)
+    kernel = functools.partial(_attn_kernel_seq, scale=scale,
+                               mask_value=mask_value, num_heads=num_heads,
+                               head_dim=c // num_heads, q_block=q_block,
+                               clamp_softmax=clamp_softmax,
+                               n_real=n_real or n)
+    q_spec = pl.BlockSpec((bb, nq, c), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((bb, n, 2 * c), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    rowq_spec = pl.BlockSpec((bb, 1, nq), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    rowk_spec = pl.BlockSpec((bb, 1, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = [q_spec, rowk_spec]
+    out_shape = [jax.ShapeDtypeStruct((b, nq, c), q.dtype),
+                 jax.ShapeDtypeStruct((b, 1, n), q.dtype)]
+    if with_headmean:
+        out_specs.append(pl.BlockSpec((bb, nq, n), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, nq, n),
+                                              hm_dtype or q.dtype))
+    res = pl.pallas_call(
+        kernel,
+        grid=(b // bb,),
+        in_specs=[q_spec, kv_spec,
+                  rowq_spec, rowk_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * num_heads * nq * n * (c // num_heads),
+            bytes_accessed=b * (nq * c + n * 2 * c + nq * c)
+            * q.dtype.itemsize
+            + (b * nq * n * 4 if with_headmean else 0),
+            transcendentals=b * num_heads * nq * n),
+        interpret=interpret,
+    )(q, kv, bg_q.astype(jnp.float32)[:, None, :],
+      bg_k.astype(jnp.float32)[:, None, :])
+    out, row0 = res[0], res[1][:, 0, :]
+    if with_headmean:
+        return out, row0, res[2]
+    return out, row0
+
+
+def _ambient_axis_size(name: str) -> int:
+    """Size of mesh axis `name` in the ambient trace context (jax.set_mesh
+    or the legacy `with mesh:` resource env)."""
+    m = jax.sharding.get_abstract_mesh()
+    if m is not None and name in getattr(m, "axis_names", ()):
+        return m.shape[name]
+    from jax._src.mesh import thread_resources
+    pm = thread_resources.env.physical_mesh
+    if name in pm.axis_names:
+        return pm.shape[name]
+    raise ValueError(
+        f"masked_attention_seq must be traced under a mesh that carries "
+        f"axis {name!r} (use `with jax.set_mesh(mesh):` or `with mesh:`)")
+
+
+def masked_attention_seq(qkv, bg, *, num_heads: int, scale: float,
+                         mask_value: float = -100.0,
+                         with_headmean: bool = False,
+                         interpret: bool = False, block_b: int = 1,
+                         clamp_softmax: bool = False, hm_dtype=None,
+                         q_block: int = 0, seq_axis: str,
+                         data_axis=None):
+    """Sequence-parallel fused masked attention: the token axis of qkv/bg
+    is sharded over mesh axis `seq_axis` (and batch over `data_axis` when
+    set); each device all-gathers the K|V rows over ICI, runs the Pallas
+    kernel on its LOCAL q rows (a shard IS a q-block range), and the cls
+    attention row is psum-broadcast from the shard owning global row 0.
+
+    This is what lets cfg.seq_axis compose with attn_impl="pallas"
+    (round-3 verdict item 3): XLA's partitioner would otherwise replicate
+    the pallas_call (all-gather everything, every device recomputing the
+    full batch).  Must be traced under the mesh context.
+
+    The real token counts (197, 577, 1025...) never divide the shard
+    count, so the token axis is zero-padded to a multiple of it; padded
+    key columns are killed in-kernel (-1e9) and padded rows sliced off
+    here — outputs keep the caller's [.., N, ..] shapes.
+
+    qkv: [B, N, 3C] global-view; bg: [B, N].  Returns
+    (out [B, N, C] token-sharded, cls_row [B, N] seq-replicated
+    [, headmean [B, N, N] row-sharded])."""
+    c = qkv.shape[-1] // 3
+    n = qkv.shape[1]
+    sp = _ambient_axis_size(seq_axis)
+    pad = (-n) % sp
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        bg = jnp.pad(bg, ((0, 0), (0, pad)))
+
+    def local_fn(qkv_l, bg_l):
+        # all-gather K|V and the key-mask rows across the token shards
+        # (Megatron-SP style: q stays local, K/V replicate per device)
+        kv = jax.lax.all_gather(qkv_l[:, :, c:], seq_axis, axis=1,
+                                tiled=True)
+        bg_k = jax.lax.all_gather(bg_l, seq_axis, axis=1, tiled=True)
+        res = _masked_attention_seq_local(
+            qkv_l[:, :, :c], kv, bg_l, bg_k, num_heads=num_heads,
+            scale=scale, mask_value=mask_value,
+            with_headmean=with_headmean, interpret=interpret,
+            block_b=block_b, clamp_softmax=clamp_softmax,
+            hm_dtype=hm_dtype, q_block=q_block, n_real=n)
+        out, row0 = res[0], res[1]
+        # local row 0 is the global cls row only on seq-rank 0
+        is0 = (jax.lax.axis_index(seq_axis) == 0).astype(row0.dtype)
+        cls_row = jax.lax.psum(row0 * is0, seq_axis)
+        if with_headmean:
+            return out, cls_row, res[2]
+        return out, cls_row
+
+    from jax.sharding import PartitionSpec as P
+    tok = P(data_axis, seq_axis, None)
+    in_specs = (tok, P(data_axis, seq_axis))
+    out_specs = (tok, P(data_axis, None)) + ((tok,) if with_headmean
+                                             else ())
+    res = jax.shard_map(local_fn, in_specs=in_specs, out_specs=out_specs,
+                        check_vma=False)(qkv, bg)
+    if pad:
+        out = res[0][:, :n, :]
+        cls_row = res[1][:, :n]
+        if with_headmean:
+            return out, cls_row, res[2][:, :n, :n]
+        return out, cls_row
+    return res
+
+
 def _attn_block_kernel(xn_ref, tok_ref, wqkv_ref, bqkv_ref, wproj_ref,
                        bproj_ref, bg_ref, *rest, **kw):
     """v3 kernel: the whole attention sub-block — qkv GEMM, masked softmax
@@ -780,26 +1006,68 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
     # same math without a VMEM-resident [N, N] working set.
     f32_long_n = (cfg.seq_len > 512 and jnp.dtype(cfg.dtype).itemsize >= 4
                   and jax.default_backend() == "tpu")
+    # Mosaic has no lowering for the 3-pass bf16x3 dot precision ("high"):
+    # _dot_general_lowering_rule raises NotImplementedError(HIGH) — measured
+    # round 4.  Inference runs the kernels' IN-KERNEL dots at "highest"
+    # (true f32 — strictly more precise than the requested rung) while the
+    # XLA GEMMs around them keep the 3-pass level; training at "high"
+    # routes to XLA (the backward kernel would hit the same lowering gap).
+    high_prec = (cfg.matmul_precision == "high"
+                 and jax.default_backend() == "tpu")
     if need_probs == "perhead" or needs_dropout or f32_long_n \
-            or (train and no_vjp_variant):
+            or (train and (no_vjp_variant or cfg.seq_axis is not None
+                           or high_prec)):
         from vision_transformer_cam_tpu.models.vit import _attention_xla
         return _attention_xla(ap, x, bg, cfg, rngs, need_probs,
                               joint=joint, hm_dtype=hm_dtype)
     from vision_transformer_cam_tpu.models.vit import _linear
+    import contextlib
+
+    def kernel_prec_ctx():
+        return jax.default_matmul_precision("highest") if high_prec \
+            else contextlib.nullcontext()
     b, n, c = x.shape
 
+    if cfg.seq_axis is not None:
+        # sequence parallelism + Pallas (round-3 verdict item 3): the qkv
+        # GEMM runs under GSPMD (token-sharded by the _sp constraints; int8
+        # weights go through the plain qlinear path — the int8 attention-I/O
+        # requantize is a batch-axis kernel fusion and stays off under sp),
+        # then the shard_map-wrapped seq kernel: local q rows, all-gathered
+        # K/V, cls row psum from the rank-0 shard.  The rollout joint update
+        # stays in XLA (it needs the FULL joint rows; GSPMD shards the
+        # einsum over the hm row shards).
+        qkv = _linear(x, ap["qkv"], cfg)
+        kw = dict(num_heads=cfg.num_heads, scale=cfg.scale,
+                  mask_value=cfg.mask_value,
+                  clamp_softmax=cfg.softmax_clamp,
+                  block_b=cfg.attn_block_b or 1,
+                  q_block=cfg.attn_q_block,
+                  interpret=jax.default_backend() != "tpu",
+                  seq_axis=cfg.seq_axis, data_axis=cfg.data_axis)
+        with kernel_prec_ctx():
+            if need_probs == "headmean" or joint is not None:
+                out, cls_row, hm = masked_attention_seq(
+                    qkv, bg, with_headmean=True, hm_dtype=hm_dtype, **kw)
+            else:
+                out, cls_row = masked_attention_seq(qkv, bg, **kw)
+                hm = None
+        out = _linear(out, ap["proj"], cfg)
+        return out, cls_row.astype(cfg.dtype), hm, None, None
+
     def call_fused(qkv_a, bg_a, joint_a, scales_a, **static):
-        if cfg.data_axis is None:
-            return masked_attention_fused(qkv_a, bg_a, joint_a, scales_a,
-                                          **static)
-        n_out = 3 if (joint_a is not None
-                      or static.get("with_headmean")) else 2
-        fn = functools.partial(masked_attention_fused, **static)
-        # qkv/bg/joint are batch-sharded; the int8 scales vector is
-        # replicated
-        return sharded_kernel_call(fn, cfg.data_axis,
-                                   (True, True, True, False), n_out)(
-            qkv_a, bg_a, joint_a, scales_a)
+        with kernel_prec_ctx():
+            if cfg.data_axis is None:
+                return masked_attention_fused(qkv_a, bg_a, joint_a,
+                                              scales_a, **static)
+            n_out = 3 if (joint_a is not None
+                          or static.get("with_headmean")) else 2
+            fn = functools.partial(masked_attention_fused, **static)
+            # qkv/bg/joint are batch-sharded; the int8 scales vector is
+            # replicated
+            return sharded_kernel_call(fn, cfg.data_axis,
+                                       (True, True, True, False), n_out)(
+                qkv_a, bg_a, joint_a, scales_a)
     # int8 attention I/O (serving): the qkv GEMM requantizes its output to
     # int8 in the epilogue, S = QK^T runs on the int8 MXU path in-kernel,
     # and the kernel's int8 output feeds the int8 proj GEMM directly —
@@ -887,10 +1155,13 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
         hm = None
     else:
         # training keeps the fixed auto q_block/block_b — the sweep knobs
-        # are serving-only (fused_attention_diff's vjp has no such surface)
-        out, cls_row = fused_attention_diff(qkv, bg, cfg.num_heads,
-                                            cfg.scale, cfg.mask_value,
-                                            cfg.softmax_clamp)
+        # are serving-only (fused_attention_diff's vjp has no such surface).
+        # (high_prec never reaches here under train — routed to XLA above —
+        # so the context only retraces the inference forward.)
+        with kernel_prec_ctx():
+            out, cls_row = fused_attention_diff(qkv, bg, cfg.num_heads,
+                                                cfg.scale, cfg.mask_value,
+                                                cfg.softmax_clamp)
         hm = None
     out = _linear(out, ap["proj"], cfg)
     return out, cls_row.astype(cfg.dtype), hm, None, newj

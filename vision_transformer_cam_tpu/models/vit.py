@@ -351,18 +351,21 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                      need_perhead=False, need_rollout=False):
     """vit_model.py:303-408 as a scan.  x: [B, H, W, C]."""
     if cfg.seq_axis is not None:
+        # attn_impl="pallas" COMPOSES with sequence parallelism since round
+        # 4: kernels.attention.masked_attention_seq shard_maps the kernel
+        # over the token axis (local q rows, all-gathered K/V).  The fusion
+        # knobs below remain batch-axis kernels and still raise.
         bad = [name for name, on in
-               (("attn_impl='pallas'", cfg.attn_impl == "pallas"),
-                ("attn_block_fusion", cfg.attn_block_fusion),
+               (("attn_block_fusion", cfg.attn_block_fusion),
                 ("mlp_fusion", cfg.mlp_fusion),
                 ("ln_quant_fusion", cfg.ln_quant_fusion),
                 ("int8_fused_gemm", cfg.int8_fused_gemm)) if on]
         if bad:
             raise ValueError(
-                f"cfg.seq_axis={cfg.seq_axis!r} (sequence parallelism) runs "
-                f"on the XLA path only, but {', '.join(bad)} request Pallas "
-                "kernels — their shard_map wrap partitions the BATCH axis "
-                "(cfg.data_axis) and would see sequence-sharded operands. "
+                f"cfg.seq_axis={cfg.seq_axis!r} (sequence parallelism) "
+                f"composes with attn_impl='pallas', but {', '.join(bad)} "
+                "request batch-axis Pallas fusions whose shard_map wrap "
+                "(cfg.data_axis) would see sequence-sharded operands. "
                 "Drop those knobs (plain int8 qlinear GEMMs are fine) or "
                 "drop seq_axis.")
     if train and cfg.softmax_clamp:

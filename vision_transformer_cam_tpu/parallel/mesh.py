@@ -121,24 +121,28 @@ def apply_seq_parallel(cfg):
     seq_parallel_mesh axes: token axis on 'seq', batch on 'data'.
 
     The single definition of the override policy shared by the validate and
-    export CLIs (--seq_parallel): sp is the XLA attention path, so any
-    Pallas-kernel knob (a serving mode's pallas attn_impl, or the fusion
-    opt-ins) is cleared, with a printed note."""
-    pallas_knobs = [name for name, on in
-                    (("attn_impl='pallas'", cfg.attn_impl == "pallas"),
-                     ("attn_block_fusion", cfg.attn_block_fusion),
+    export CLIs (--seq_parallel).  attn_impl='pallas' is KEPT (round 4:
+    kernels.attention.masked_attention_seq shard_maps the attention kernel
+    over the token axis); the batch-axis kernel fusions (block/MLP/ln-quant
+    /int8-fused-GEMM, and the int8 attention-I/O requantize) are cleared
+    with a printed note — under sp the int8 GEMMs run as plain qlinear and
+    the attention core stays float."""
+    fusion_knobs = [name for name, on in
+                    (("attn_block_fusion", cfg.attn_block_fusion),
                      ("mlp_fusion", cfg.mlp_fusion),
                      ("ln_quant_fusion", cfg.ln_quant_fusion),
-                     ("int8_fused_gemm", cfg.int8_fused_gemm)) if on]
-    if pallas_knobs:
-        print(f"note: sequence parallelism runs the XLA attention path; "
-              f"overriding {', '.join(pallas_knobs)}")
-    # data_axis here names the batch axis for the GSPMD constraints
-    # (models/vit._sp), not a Pallas shard_map wrap
-    return cfg.replace(attn_impl="xla", attn_block_fusion=False,
+                     ("int8_fused_gemm", cfg.int8_fused_gemm),
+                     ("int8_attn_io", cfg.int8_attn_io)) if on]
+    if fusion_knobs:
+        print(f"note: sequence parallelism keeps the attention kernel "
+              f"(token-sharded shard_map) but overrides batch-axis "
+              f"fusions: {', '.join(fusion_knobs)}")
+    # data_axis names the batch axis for the GSPMD constraints
+    # (models/vit._sp) and the seq kernel's shard_map batch dim
+    return cfg.replace(attn_block_fusion=False,
                        mlp_fusion=False, ln_quant_fusion=False,
-                       int8_fused_gemm=False, data_axis="data",
-                       seq_axis="seq")
+                       int8_fused_gemm=False, int8_attn_io=False,
+                       data_axis="data", seq_axis="seq")
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
