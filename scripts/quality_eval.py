@@ -47,31 +47,61 @@ CLASS_FREQ = _rng.randint(2, 6, size=NUM_CLASSES)
 
 
 def make_batch(seed: int, n: int, img: int = 224, with_seg: bool = False):
-    """n images with 1-3 of 20 classes each; a present class contributes a
-    textured square (56x56 at 224px, scaled with resolution) at a random
-    location over a noise background.
+    """n images with 1-2 of 20 classes each; a present class contributes a
+    textured MULTI-SCALE square (side drawn from [img/4, img/2] — VOC-like
+    object/image ratios) at a non-overlapping random location over a noise
+    background.
+
+    Round-4 redesign (verdict: the old fixed-56px protocol gave truth
+    pseudo-seg mIoU ~12 for EVERY mode — no dynamic range, so a pipeline
+    regression would vanish into the floor).  Larger multi-scale objects
+    give the rollout CAM something resolvable at the 14x14 patch grid, so
+    the f32-truth mIoU lands high enough that a broken bg gate
+    (--sabotage) visibly craters it.
 
     with_seg: also return the ground-truth segmentation masks [n, img, img]
     uint8 (0 = background, c+1 = class c — the VOC label convention), known
     exactly from the generated square locations.  This is what lets the
     synthetic substitute score the END artifact of validate.py:248-285
     (pseudo-seg mIoU) per serving mode."""
-    sq = 56 * img // 224  # same object/image area ratio at every resolution
     r = np.random.RandomState(seed)
     images = r.normal(0.0, 0.25, size=(n, img, img, 3)).astype(np.float32)
     labels = np.zeros((n, NUM_CLASSES), np.float32)
     segs = np.zeros((n, img, img), np.uint8) if with_seg else None
-    yy, xx = np.mgrid[0:sq, 0:sq]
     for i in range(n):
-        for c in r.choice(NUM_CLASSES, size=r.randint(1, 4), replace=False):
+        occupied = np.zeros((img, img), bool)
+        for c in r.choice(NUM_CLASSES, size=r.randint(1, 3), replace=False):
+            sq = r.randint(img // 4, img // 2 + 1)
+            # up to 8 placement attempts to avoid overlap: overlapping
+            # squares make the GT mask ambiguous (the later class
+            # overwrites pixels the earlier label still claims)
+            for _ in range(8):
+                y0 = r.randint(0, img - sq)
+                x0 = r.randint(0, img - sq)
+                if not occupied[y0:y0 + sq, x0:x0 + sq].any():
+                    break
+            else:
+                continue
             labels[i, c] = 1.0
-            y0 = r.randint(0, img - sq)
-            x0 = r.randint(0, img - sq)
+            occupied[y0:y0 + sq, x0:x0 + sq] = True
+            yy, xx = np.mgrid[0:sq, 0:sq]
             tex = np.sin((xx + yy) * (np.pi / CLASS_FREQ[c]))[..., None]
             patch = CLASS_COLOR[c][None, None, :] * (0.75 + 0.25 * tex)
             images[i, y0:y0 + sq, x0:x0 + sq] += patch.astype(np.float32)
             if with_seg:
                 segs[i, y0:y0 + sq, x0:x0 + sq] = c + 1
+        if not labels[i].any():
+            # every placement failed (vanishingly rare): retry the image as
+            # single-object — the mAP metric needs >= 1 positive per row
+            sq = img // 3
+            c = int(r.randint(NUM_CLASSES))
+            labels[i, c] = 1.0
+            yy, xx = np.mgrid[0:sq, 0:sq]
+            tex = np.sin((xx + yy) * (np.pi / CLASS_FREQ[c]))[..., None]
+            images[i, :sq, :sq] += (CLASS_COLOR[c][None, None, :]
+                                    * (0.75 + 0.25 * tex)).astype(np.float32)
+            if with_seg:
+                segs[i, :sq, :sq] = c + 1
     if with_seg:
         return jnp.asarray(images), jnp.asarray(labels), segs
     return jnp.asarray(images), jnp.asarray(labels)
@@ -107,7 +137,7 @@ def finetune(steps: int, batch: int, model: str, seed: int = 0):
 
 
 def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None,
-              chunk=0):
+              chunk=0, pcfg=None):
     from vision_transformer_cam_tpu.cam.pseudo_seg import pseudo_seg_batch
     from vision_transformer_cam_tpu.utils.metrics import ConfusionMatrix
 
@@ -122,7 +152,7 @@ def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None,
     n_total = int(images.shape[0])
     chunk = chunk or n_total
     logits_l, h1_l, topi_l, cam_l, preds_l = [], [], [], [], []
-    pcfg = configs.PseudoSegConfig()
+    pcfg = pcfg or configs.PseudoSegConfig()
     for lo in range(0, n_total, chunk):
         out, cam_c = fwd(params, images[lo:lo + chunk])
         lg, h1c, tic = jax.device_get((out.logits, out.head1_logits,
@@ -175,8 +205,10 @@ def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None,
 
 
 def main():
-    from vision_transformer_cam_tpu.utils import check_cli_flags
-    check_cli_flags(sys.argv, bool_flags=(),
+    from vision_transformer_cam_tpu.utils import (check_cli_flags,
+                                                  honor_jax_platforms_env)
+    honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must actually stick
+    check_cli_flags(sys.argv, bool_flags=("--sabotage",),
                     value_flags=("--steps", "--batch", "--eval", "--chunk",
                                  "--seed", "--model"),
                     prog="quality_eval.py")
@@ -220,6 +252,20 @@ def main():
     p32 = jax.tree.map(lambda a: a.astype(jnp.float32), params)
     truth = eval_mode("f32 exact (truth)", p32, f32, images, labels,
                       seg_gt=seg_gt, chunk=chunk)
+
+    if "--sabotage" in sys.argv:
+        # Dynamic-range proof (round-4 verdict item 5): a deliberately
+        # broken bg gate — bg_rollout_threshold 0.05 -> 0.5 marks most
+        # foreground rollout mass as background — must visibly crater the
+        # truth mIoU.  If it doesn't, the synthetic protocol has no power
+        # to catch a real pipeline regression and its per-mode table is
+        # measuring mode-consistency only.
+        broken = configs.PseudoSegConfig(bg_rollout_threshold=0.5)
+        bad = eval_mode("f32 + SABOTAGED bg gate", p32, f32, images, labels,
+                        seg_gt=seg_gt, chunk=chunk, pcfg=broken)
+        print(f"\ntruth mIoU {truth['miou']:.2f}  ->  sabotaged bg gate "
+              f"mIoU {bad['miou']:.2f}")
+        return
 
     bf = base.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                       attn_impl="pallas", gelu_approx=True,

@@ -67,11 +67,15 @@ class ViTCAMConfig:
     # Matmul pass precision for f32 graphs.  None = backend default, which
     # on TPU lowers f32 dots to bfloat16 MXU passes: the f32-dtype graph
     # then deviates ~5e-3 (CAM max, ViT-B) from a float64 reference —
-    # measured, see BENCHMARKS "f32 fidelity on TPU".  "highest" runs true
-    # f32 passes (~3-5e-7 vs f64, the ≤1e-5 parity class of BASELINE.json)
-    # at ~3.5x the matmul cost.  Applied as jax.default_matmul_precision
-    # around the forward trace, so it reaches XLA dots AND the Pallas
-    # kernels' in-kernel matmuls.  Irrelevant under bf16/int8 serving.
+    # measured, see BENCHMARKS "f32 fidelity on TPU" (round-4 re-measure).
+    # "highest" runs true f32 passes; "high" (3-pass bf16x3) lands in the
+    # SAME fidelity class (same-chip diff 7.2e-7 Pallas / 5.9e-5 XLA) at
+    # ~1.7x the throughput — the strict-parity recommendation.  Mosaic has
+    # no HIGH dot lowering, so at "high" the Pallas kernels run their
+    # in-kernel dots at "highest" (hybrid) and training routes to XLA.
+    # Applied as jax.default_matmul_precision around the forward trace, so
+    # it reaches XLA dots AND the Pallas kernels' in-kernel matmuls.
+    # Irrelevant under bf16/int8 serving.
     matmul_precision: Optional[str] = None
     # tanh-approx GELU is measurably cheaper on the VPU; exact erf is the
     # parity default (torch nn.GELU default — vit_model.py:156)

@@ -345,8 +345,18 @@ def masked_attention_fused(qkv, bg, joint=None, scales=None, *,
         import os
         from vision_transformer_cam_tpu.utils import (LONG_N_SCOPED_VMEM_KIB,
                                                       SCOPED_VMEM_MARKER)
-        if n > 512 and int(os.environ.get(SCOPED_VMEM_MARKER, "0")
-                           or 0) >= LONG_N_SCOPED_VMEM_KIB:
+        if n > 640:
+            # >1k-token regime (ViT-L/16@512, N=1025 — BASELINE config #4):
+            # the single-N-row block that wins at N=577 OOMs the 32 MB
+            # partition here by 888 KB, and LOSES even at 36 MB where it
+            # fits (16.57 vs 15.33 ms/layer at qb=384, int8 --post b128);
+            # 384 wins the 32 MB sweep outright (9.36 ms/layer int8 --post
+            # b64; 512 second).  At the 16 MB default EVERY q_block OOMs at
+            # N=1025 — tune_tpu_for_long_sequence is required (auto in
+            # bench/CLIs at N > 512); scripts/qblock_sweep.py to re-probe.
+            q_block = 384
+        elif n > 512 and int(os.environ.get(SCOPED_VMEM_MARKER, "0")
+                             or 0) >= LONG_N_SCOPED_VMEM_KIB:
             # single-N-row block is the measured winner only for the
             # SERVING softmax (clamp: one fused min, no row-max buffers).
             # The training math (max-subtract) keeps extra [QB, N] live
@@ -931,7 +941,10 @@ def _fused_bwd(num_heads, scale, mask_value, clamp_softmax, residuals,
     # routes f32 long-N to XLA).  qblock_sweep.py --bwd.
     n = qkv.shape[-2]
     pallas_bwd_fits = n <= 512
-    if not pallas_bwd_fits:
+    if not pallas_bwd_fits and n <= 640:
+        # the whole-N working set scales ~n^2: 19.3 MB at N=577 fits the
+        # raised 32 MB partition, but by N=1025 it is ~61 MB — no partition
+        # this chip offers.  Past 640 rows the bwd always routes to XLA.
         import os
         from vision_transformer_cam_tpu.utils import (LONG_N_SCOPED_VMEM_KIB,
                                                       SCOPED_VMEM_MARKER)
