@@ -460,6 +460,26 @@ def test_tune_tpu_honors_user_pinned_partition(monkeypatch):
     assert os.environ[utils.SCOPED_VMEM_MARKER] == "49152"
 
 
+def test_tune_tpu_gt1k_partition(monkeypatch):
+    """At N>640 (ViT-L/16@512 -> 1025 tokens) the tuner must request the
+    36 MB partition: the bf16 forward's in-model scoped allocation is
+    33.0-33.1 MB at every viable q_block — it OOMs 32 MB by ~1 MB (measured
+    round 4), fits 36 MB; int8 fits either and is unaffected.  N=577 keeps
+    the 32 MB request (ViT-B@224 showed raised partitions hurt short N, so
+    each regime gets its measured minimum)."""
+    import os
+
+    from vision_transformer_cam_tpu import configs, utils
+    for var in (utils.SCOPED_VMEM_MARKER, "LIBTPU_INIT_ARGS"):
+        monkeypatch.setenv(var, "sentinel")
+        monkeypatch.delenv(var)
+    assert utils.tune_tpu_for_long_sequence(configs.vit_large_patch16_512())
+    assert os.environ[utils.SCOPED_VMEM_MARKER] == str(
+        utils.GT1K_SCOPED_VMEM_KIB)
+    assert f"--xla_tpu_scoped_vmem_limit_kib={utils.GT1K_SCOPED_VMEM_KIB}" \
+        in os.environ["LIBTPU_INIT_ARGS"]
+
+
 def test_plain_bf16_path_honors_qblock_blockb_knobs(monkeypatch):
     """bench's --q-block/--block-b knobs must reach the kernel on the PLAIN
     bf16 no-rollout path too: fused_attention_diff (the custom_vjp wrapper)

@@ -408,3 +408,17 @@ def test_bench_default_matches_serving_api():
         api_d = dict(vars(api_cfg))
         bench_d.pop("attn_impl"), api_d.pop("attn_impl")
         assert bench_d == api_d, mode
+
+    # >640-token regime: the "int8" tier auto-routes attention through the
+    # output-only int8 kernel (faster AND higher fidelity at N=1025 —
+    # BENCHMARKS "ViT-L/16@512"); bench's default flags must agree.
+    long_base = configs.vit_large_patch16_512(num_classes=20).replace(
+        representation_size=None)
+    bench_long, _ = bench.build_cfg(
+        ["bench.py", "--model", "vit_large_patch16_512"])
+    api_long = serving.serving_config(long_base, "int8")
+    assert api_long.int8_attn_out and not api_long.int8_attn_io
+    assert bench_long.int8_attn_out and not bench_long.int8_attn_io
+    bd, ad = dict(vars(bench_long)), dict(vars(api_long))
+    bd.pop("attn_impl"), ad.pop("attn_impl")
+    assert bd == ad

@@ -60,7 +60,18 @@ def serving_config(cfg, mode: str):
         # int8_hifi deliberately leaves int8_attn_io off: the GEMMs run
         # W8A8 but the attention probabilities (and hence the rollout CAM)
         # are computed from unquantized bf16 q/k/v
-        cfg = cfg.replace(int8_attn_io=True)
+        if cfg.seq_len > 640:
+            # >1k-token regime: int8 attention I/O measured STRICTLY WORSE
+            # than the output-only int8 path — 216.8 vs 219.8 img/s at
+            # N=1025 (ViT-L/16@512, batch 32/64 plateau) AND lower CAM
+            # fidelity.  The quantize epilogues that pay for themselves at
+            # N<=577 lose once the kernel is q-blocked at 384 rows; the
+            # "int8" tier therefore routes its attention through the hifi
+            # kernel here (GEMMs stay W8A8 — only the attention I/O story
+            # changes).  BENCHMARKS "ViT-L/16@512".
+            cfg = cfg.replace(int8_attn_out=True)
+        else:
+            cfg = cfg.replace(int8_attn_io=True)
     elif mode == "int8_hifi":
         # output-only int8 attention I/O: probabilities stay float (the
         # hifi contract) but the kernel emits the output pre-quantized for
@@ -105,5 +116,7 @@ def serving_mode_help() -> str:
     """One-line-per-mode summary for CLI --serving help strings."""
     return ("off = reference-parity f32; bf16 = bf16 + tanh GELU + clamp "
             "softmax + fused Pallas attention; int8 adds W8A8 GEMMs + "
-            "per-head int8 attention I/O (fastest); int8_hifi keeps the "
+            "per-head int8 attention I/O (fastest; past 640 tokens it "
+            "auto-routes to the output-only int8 attention path — measured "
+            "faster AND higher-fidelity there); int8_hifi keeps the "
             "attention core float for ~1e-4-class CAM fidelity")

@@ -18,6 +18,12 @@ def honor_jax_platforms_env() -> None:
 
 SCOPED_VMEM_MARKER = "_VITCAM_SCOPED_VMEM_KIB"
 LONG_N_SCOPED_VMEM_KIB = 32768
+# >1k-token regime (N>640, e.g. ViT-L/16@512's 1025): the bf16 forward
+# kernel's in-model scoped allocation is 33.0-33.1 MB at every viable
+# q_block (320/384) — it OOMs the 32 MB partition by ~1 MB, fits 36 MB.
+# int8 fits either; 36 MB costs int8 nothing measurable (qblock_sweep
+# 36 MB probe).  Chosen by tune_tpu_for_long_sequence via cfg.seq_len.
+GT1K_SCOPED_VMEM_KIB = 36864
 
 
 def tune_tpu_for_long_sequence(cfg) -> bool:
@@ -35,6 +41,8 @@ def tune_tpu_for_long_sequence(cfg) -> bool:
     strictly a long-N knob.  Harmless off-TPU (CPU jax ignores the env)."""
     if cfg.seq_len <= 512 or os.environ.get(SCOPED_VMEM_MARKER):
         return False
+    want = (GT1K_SCOPED_VMEM_KIB if cfg.seq_len > 640
+            else LONG_N_SCOPED_VMEM_KIB)
     prev = os.environ.get("LIBTPU_INIT_ARGS", "")
     # The marker must only be set when the partition libtpu will ACTUALLY
     # use is >= LONG_N_SCOPED_VMEM_KIB — the kernel's auto q_block trusts it
@@ -46,6 +54,9 @@ def tune_tpu_for_long_sequence(cfg) -> bool:
         # advertise the single-q-block config if it is big enough
         have = int(m.group(1))
         if have >= LONG_N_SCOPED_VMEM_KIB:
+            # honor the pin (e.g. a sweep).  At N>640 a 32 MB pin still
+            # advertises the marker — int8 fits there; a bf16 forward will
+            # OOM with a clear Mosaic message naming the partition.
             os.environ[SCOPED_VMEM_MARKER] = str(have)
             return True
         return False
@@ -83,9 +94,9 @@ def tune_tpu_for_long_sequence(cfg) -> bool:
                 "before the first device use (or run long-N models in their "
                 "own process) for the fast single-q-block config.")
             return False
-    flag = f"--xla_tpu_scoped_vmem_limit_kib={LONG_N_SCOPED_VMEM_KIB}"
+    flag = f"--xla_tpu_scoped_vmem_limit_kib={want}"
     os.environ["LIBTPU_INIT_ARGS"] = (prev + " " + flag).strip()
-    os.environ[SCOPED_VMEM_MARKER] = str(LONG_N_SCOPED_VMEM_KIB)
+    os.environ[SCOPED_VMEM_MARKER] = str(want)
     return True
 
 
