@@ -207,7 +207,7 @@ def build_cfg(argv, model=None):
         # match serving.serving_config: past 640 tokens the "int8" tier
         # routes attention through the output-only int8 kernel — measured
         # faster AND higher-fidelity than int8 attention I/O at N=1025
-        # (219.8 vs 216.8 img/s).  --int8-attn below still forces I/O.
+        # (223.1 vs 220.1 img/s).  --int8-attn below still forces I/O.
         if cfg.seq_len > 640:
             cfg = cfg.replace(int8_attn_out=True)
         else:

@@ -265,7 +265,8 @@ def main():
                         seg_gt=seg_gt, chunk=chunk, pcfg=broken)
         print(f"\ntruth mIoU {truth['miou']:.2f}  ->  sabotaged bg gate "
               f"mIoU {bad['miou']:.2f}")
-        return
+        # fall through to the per-mode table: one fine-tune serves both
+        # the dynamic-range proof and the mode comparison
 
     bf = base.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                       attn_impl="pallas", gelu_approx=True,

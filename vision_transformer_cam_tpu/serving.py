@@ -62,8 +62,8 @@ def serving_config(cfg, mode: str):
         # are computed from unquantized bf16 q/k/v
         if cfg.seq_len > 640:
             # >1k-token regime: int8 attention I/O measured STRICTLY WORSE
-            # than the output-only int8 path — 216.8 vs 219.8 img/s at
-            # N=1025 (ViT-L/16@512, batch 32/64 plateau) AND lower CAM
+            # than the output-only int8 path — 220.1 vs 223.1 img/s at
+            # N=1025 (ViT-L/16@512, 36 MB partition, batch 32) AND lower CAM
             # fidelity.  The quantize epilogues that pay for themselves at
             # N<=577 lose once the kernel is q-blocked at 384 rows; the
             # "int8" tier therefore routes its attention through the hifi
