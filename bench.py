@@ -108,7 +108,7 @@ _FLAGS = {"--gelu-exact", "--stable-softmax", "--mlp-fusion", "--int8-fused",
           "--rollout-post", "--rollout-carry", "--ln-quant", "--int8",
           "--int8-hifi", "--bf16", "--f32", "--xla", "--no-int8-attn",
           "--int8-attn", "--int8-dynamic", "--no-cam", "--latency",
-          "--train", "--mixed"}
+          "--train", "--mixed", "--batch-global-mask"}
 _VALUE_FLAGS = {"--block-b", "--q-block", "--batch", "--model",
                 "--dispatch-chunks", "--precision", "--accum"}
 
@@ -163,6 +163,12 @@ def build_cfg(argv, model=None):
     # fused Pallas attention is the fastest measured config; --xla opts out
     if "--xla" not in argv:
         cfg = cfg.replace(attn_impl="pallas")
+    # serving/inference mask-norm semantics (mirrors serving_config): the
+    # reference validates at batch_size=1 where its global max IS the
+    # per-sample max; batch-global at batch>1 couples images.
+    # --batch-global-mask reproduces the old coupled graph for A/B.
+    if "--f32" not in argv and "--batch-global-mask" not in argv:
+        cfg = cfg.replace(per_sample_mask_norm=True)
     # tanh GELU: +23% measured; numerics differ from the reference's exact
     # erf by ~1e-3 — below bf16 rounding noise (f32 goldens pin exact math)
     if "--gelu-exact" not in argv:

@@ -422,3 +422,48 @@ def test_bench_default_matches_serving_api():
     bd, ad = dict(vars(bench_long)), dict(vars(api_long))
     bd.pop("attn_impl"), ad.pop("attn_impl")
     assert bd == ad
+
+
+def test_serving_mask_norm_is_per_sample_and_batch_invariant():
+    """Serving semantics (round 4): the reference VALIDATES at batch_size=1
+    (validate.py:98), where its global-max mask normalization
+    (vit_model.py:335,372) is the per-sample max — so serving_config sets
+    per_sample_mask_norm=True for every non-off mode, which (a) reproduces
+    the reference's per-image validate on a batched server and (b) makes
+    outputs independent of batch composition.  Batch-global coupling is
+    real: an image whose cls-attention peak is below mask_threshold x the
+    batch max has its whole patch set bg-masked by a co-batched image."""
+    from vision_transformer_cam_tpu import serving
+
+    for mode in ("bf16", "int8", "int8_hifi"):
+        assert serving.serving_config(TINY, mode).per_sample_mask_norm, mode
+
+    cfg = TINY.replace(per_sample_mask_norm=True)
+    params = vit.init(cfg, jax.random.key(0))
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    # a dominant-peak partner image: batch-global normalization would
+    # rescale image a's mask by b's (much larger) peak
+    b = jnp.asarray(10.0 * rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    solo = vit.apply(params, a, cfg, need_rollout=True)
+    both = vit.apply(params, jnp.concatenate([a, b]), cfg, need_rollout=True)
+    np.testing.assert_allclose(np.asarray(both.logits[:1]),
+                               np.asarray(solo.logits), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(both.rollout_row[:1]),
+                               np.asarray(solo.rollout_row),
+                               rtol=0, atol=1e-5)
+    # and the batch-global coupling is real at the mask level: a weak-peak
+    # image co-batched with a strong-peak one is ENTIRELY bg-masked under
+    # batch-global normalization, untouched under per-sample (random-weight
+    # whole-model rows are too uniform to show this, so pin the unit)
+    g = TINY.replace(per_sample_mask_norm=False)
+    n = TINY.seq_len
+    weak = np.full((n,), 0.01, np.float32)
+    weak[5] = 0.1                       # its own peak: nothing < 0.25*peak*4
+    strong = np.full((n,), 0.01, np.float32)
+    strong[7] = 1.0
+    rows = jnp.asarray(np.stack([weak, strong]))
+    _, bg_global = vit._mask_from_cls_row(rows, g)
+    _, bg_per = vit._mask_from_cls_row(rows, cfg)
+    assert np.asarray(bg_global)[0, 1:].all()     # weak image fully wiped
+    assert not np.asarray(bg_per)[0, 1:].all()    # per-sample keeps its fg

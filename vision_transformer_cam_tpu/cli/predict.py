@@ -134,6 +134,10 @@ def main(argv=None):
     cfg = cfg.replace(representation_size=None)  # has_logits=False
     from vision_transformer_cam_tpu.utils import tune_tpu_for_long_sequence
     tune_tpu_for_long_sequence(cfg)  # N>512: scoped-VMEM, pre-backend-init
+    # single-image CLI: per-sample vs batch-global mask normalization are
+    # IDENTICAL at batch 1 (the reference's predict/validate case); set
+    # per-sample so the graph matches the batched serving surfaces
+    cfg = cfg.replace(per_sample_mask_norm=True)
     impl = args.attn_impl
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"

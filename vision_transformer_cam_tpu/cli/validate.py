@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the remaining devices/N.  For long-N models "
                         "(ViT-L@384); XLA attention path (a pallas "
                         "attn_impl is overridden)")
+    p.add_argument("--batch_global_mask_norm", action="store_true",
+                   help="couple the rollout mask normalization across the "
+                        "eval batch (the reference's TRAINING semantics; "
+                        "its validate runs batch 1 where the global max is "
+                        "per-sample, which is our default)")
     p.add_argument("--native_decode", action="store_true",
                    help="use the C++ batched JPEG pipeline (threaded "
                         "decode+resize+normalize in one call; PIL "
@@ -98,6 +103,17 @@ def val(args) -> dict:
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     cfg = cfg.replace(attn_impl=impl)
+    if not args.batch_global_mask_norm:
+        # Reference-validate semantics: the reference's val DataLoader is
+        # batch_size=1 (validate.py:98), so its global-max mask
+        # normalization (vit_model.py:335,372) is the PER-SAMPLE max at
+        # inference.  Running our batched loop with batch-global
+        # normalization couples images (one image's weak attention peak +
+        # another's strong one ⇒ the weak image's whole patch set drops
+        # below mask_threshold and is bg-masked); per-sample reproduces
+        # what the reference's per-image validate actually computes AND
+        # makes results independent of batch composition.
+        cfg = cfg.replace(per_sample_mask_norm=True)
     pcfg = configs.PseudoSegConfig()
     if args.weights:
         # full fine-tuned load, heads kept (validate.py:106-110)

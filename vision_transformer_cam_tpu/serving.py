@@ -53,9 +53,19 @@ def serving_config(cfg, mode: str):
     # magnitude slower than XLA — so resolve by backend, like the CLIs'
     # attn_impl=auto.  Callers can still force either impl afterwards.
     impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    # per_sample_mask_norm: the reference VALIDATES at batch_size=1
+    # (validate.py:98), where its global-max mask normalization
+    # (vit_model.py:335,372) IS the per-sample max — so per-sample is the
+    # faithful inference semantics for a batched server.  Batch-global at
+    # batch>1 couples images: any image whose cls-attention peak is below
+    # mask_threshold x the batch max gets its ENTIRE patch set bg-masked
+    # (measured: 58/64 synthetic eval images wiped to an all-NaN rollout
+    # row — scripts/seg_diagnose.py).  Per-sample also makes serving
+    # outputs batch-composition-invariant, which a deployment contract
+    # needs.  Training keeps the reference's batch-global default.
     cfg = cfg.replace(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                       gelu_approx=True, softmax_clamp=True,
-                      attn_impl=impl)
+                      attn_impl=impl, per_sample_mask_norm=True)
     if mode == "int8":
         # int8_hifi deliberately leaves int8_attn_io off: the GEMMs run
         # W8A8 but the attention probabilities (and hence the rollout CAM)
