@@ -178,7 +178,15 @@ def make_batch(seed: int, n: int, img: int = 224, with_seg: bool = False,
 
 
 def finetune(steps: int, batch: int, model: str, seed: int = 0,
-             data_kw: dict | None = None):
+             data_kw: dict | None = None, freeze_below: int = 0):
+    """freeze_below=K: blocks 0..K-1 stay at their random init (update mask
+    over the stacked-blocks leading axis).  The synthetic substitute for
+    'generic pretrained lower layers': a from-scratch model solves the
+    synthetic tasks with block-0..2 attention selection (measured across
+    four protocols — seg_diagnose per-block mask stats), but the reference
+    pipeline reads localization from blocks mask_from=4 / bg_blocks_from=5;
+    freezing the early blocks forces the selection to emerge where the
+    pipeline looks, as it does in pretrained ViTs."""
     from vision_transformer_cam_tpu.train.state import (create_train_state,
                                                         make_optimizer)
     from vision_transformer_cam_tpu.train.step import train_step
@@ -194,6 +202,22 @@ def finetune(steps: int, batch: int, model: str, seed: int = 0,
         configs.OptimConfig(lr=5e-4, weight_decay=5e-5, warmup_epochs=1,
                             epochs=max(steps // 50, 2)),
         global_batch_size=batch, steps_per_epoch=50)
+    if freeze_below:
+        import optax
+        inner = tx
+
+        def _masked(path, u):
+            if path and getattr(path[0], "key", None) == "blocks":
+                keep = jnp.arange(u.shape[0]) >= freeze_below
+                return u * keep.reshape(
+                    (-1,) + (1,) * (u.ndim - 1)).astype(u.dtype)
+            return u
+
+        def _update(grads, st, params=None):
+            updates, st = inner.update(grads, st, params)
+            return jax.tree_util.tree_map_with_path(_masked, updates), st
+
+        tx = optax.GradientTransformation(inner.init, _update)
     state = create_train_state(params, tx)
     rng = jax.random.key(42 + seed)
     t0 = time.perf_counter()

@@ -48,7 +48,7 @@ def main():
                     value_flags=("--steps", "--batch", "--eval", "--model",
                                  "--fg", "--bg", "--cls", "--seed",
                                  "--objects", "--size_lo", "--size_hi",
-                                 "--save_state", "--load_state"),
+                                 "--save_state", "--load_state", "--freeze"),
                     prog="seg_diagnose.py")
 
     def arg(flag, default, cast=int):
@@ -78,7 +78,9 @@ def main():
         with open(load, "rb") as f:
             params = pickle.load(f)
     else:
-        params = finetune(steps, batch, model, seed=seed, data_kw=data_kw)
+        params = finetune(steps, batch, model, seed=seed,
+                          data_kw=data_kw,
+                          freeze_below=arg("--freeze", 0))
     if "--save_state" in sys.argv:
         import pickle
         with open(sys.argv[sys.argv.index("--save_state") + 1], "wb") as f:
