@@ -104,9 +104,6 @@ def make_pairs_batch(seed: int, n: int, img: int = 224,
 def make_batch(seed: int, n: int, img: int = 224, with_seg: bool = False,
                max_objects: int = 1, size_lo: int = 5, size_hi: int = 3,
                pairs: bool = False):
-    if pairs:
-        return make_pairs_batch(seed, n, img, with_seg,
-                                size_lo=size_lo, size_hi=size_hi)
     """n images, each with 1..max_objects of 20 classes; a present class
     contributes a textured square (side drawn from [img/size_lo,
     img/size_hi]) at a non-overlapping random location over a noise
@@ -133,6 +130,9 @@ def make_batch(seed: int, n: int, img: int = 224, with_seg: bool = False,
     exactly from the generated square locations.  This is what lets the
     synthetic substitute score the END artifact of validate.py:248-285
     (pseudo-seg mIoU) per serving mode."""
+    if pairs:
+        return make_pairs_batch(seed, n, img, with_seg,
+                                size_lo=size_lo, size_hi=size_hi)
     r = np.random.RandomState(seed)
     images = r.normal(0.0, 0.25, size=(n, img, img, 3)).astype(np.float32)
     labels = np.zeros((n, NUM_CLASSES), np.float32)
@@ -232,6 +232,55 @@ def finetune(steps: int, batch: int, model: str, seed: int = 0,
     return jax.device_get(state.params)
 
 
+def _mask_stack(cls_rows, num_tokens):
+    """attn_cls_rows [L, B, N] -> the model's per-layer normalized patch
+    masks [L, B, P] (numpy replica of vit._mask_from_cls_row with
+    per-sample normalization — the inference semantics).  These are the
+    values the 0.25 mask-feedback threshold and the final top-16 selection
+    are applied to (vit_model.py:339, :377)."""
+    aug0 = np.asarray(cls_rows, np.float64).copy()
+    aug0[..., 0] += 1.0
+    aug0 /= aug0.sum(axis=-1, keepdims=True)
+    m = aug0[..., num_tokens:]
+    return m / m.max(axis=-1, keepdims=True)
+
+
+def tie_margins(row, truth, cfg, mask_threshold=0.25):
+    """Threshold-distance metrics (round-4 verdict item 7): when a mode's
+    decisions flip vs the f32 truth, HOW FAR were the flipped patches from
+    the decision boundary — in the truth's own normalized mask units?
+    Flips concentrated within ~1e-2 of the boundary are threshold-tie
+    noise (the known ±0.08 top-16-overlap replicate spread at N>=577);
+    flips far from it would be structural quantization damage.
+
+      maskFlip%: fraction of (layer, image, patch) 0.25-mask-feedback
+                 decisions that differ from truth across ALL L layers —
+                 the cascade's source population;
+      tieD.25:   median |truth_mask - 0.25| over those flips;
+      tieD16:    median distance of top-16 membership flips from the
+                 truth's own 16th/17th-value boundary (last layer)."""
+    mt = _mask_stack(truth["cls_rows"], cfg.num_tokens)
+    mm = _mask_stack(row["cls_rows"], cfg.num_tokens)
+    flips = (mt >= mask_threshold) != (mm >= mask_threshold)
+    row["mask_flip_frac"] = float(flips.mean())
+    row["tie_dist_mask"] = float(np.median(np.abs(mt[flips] - mask_threshold))) \
+        if flips.any() else float("nan")
+    last_t, last_m = mt[-1], mm[-1]
+    d16 = []
+    for i in range(last_t.shape[0]):
+        st = set(np.asarray(truth["topi"][i]).tolist())
+        sm = set(np.asarray(row["topi"][i]).tolist())
+        flipped = st ^ sm
+        if not flipped:
+            continue
+        v = np.sort(last_t[i])[::-1]
+        k = truth["topi"].shape[1]
+        boundary = 0.5 * (v[k - 1] + v[k])
+        d16.extend(abs(last_t[i][p] - boundary) for p in flipped)
+    row["tie_dist_top16"] = float(np.median(d16)) if d16 else float("nan")
+    return row
+
+
 def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None,
               chunk=0, pcfg=None):
     from vision_transformer_cam_tpu.cam.pseudo_seg import pseudo_seg_batch
@@ -247,7 +296,7 @@ def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None,
     # [24, B, 577, 577] f32) don't fit the whole eval set on a 16 GB chip
     n_total = int(images.shape[0])
     chunk = chunk or n_total
-    logits_l, h1_l, topi_l, cam_l, preds_l = [], [], [], [], []
+    logits_l, h1_l, topi_l, cam_l, preds_l, rows_l = [], [], [], [], [], []
     pcfg = pcfg or configs.PseudoSegConfig()
     for lo in range(0, n_total, chunk):
         out, cam_c = fwd(params, images[lo:lo + chunk])
@@ -255,18 +304,22 @@ def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None,
                                        out.top_patch_idx))
         logits_l.append(lg), h1_l.append(h1c), topi_l.append(tic)
         cam_l.append(np.asarray(jax.device_get(cam_c)))
+        rows_l.append(np.asarray(jax.device_get(out.attn_cls_rows),
+                                 np.float32))       # [L, chunk, N]
         if seg_gt is not None:
             n_c = lg.shape[0]
             preds_l.extend(pseudo_seg_batch(out, cfg, pcfg,
                                             [seg_gt.shape[1:]] * n_c))
     logits, h1 = np.concatenate(logits_l), np.concatenate(h1_l)
     topi, cam = np.concatenate(topi_l), np.concatenate(cam_l)
+    cls_rows = np.concatenate(rows_l, axis=1)
     lab = np.asarray(labels)
     m196 = compute_mAP(lab, 1 / (1 + np.exp(-logits.astype(np.float32))))
     m16 = compute_mAP(lab, 1 / (1 + np.exp(-h1.astype(np.float32))))
     row = {"mode": name, "mAP_196patch": float(np.mean(m196)),
            "mAP_16patch": float(np.mean(m16)),
-           "cam": cam.astype(np.float32), "topi": topi}
+           "cam": cam.astype(np.float32), "topi": topi,
+           "cls_rows": cls_rows}
     if seg_gt is not None:
         # the END artifact (validate.py:248-285): full pseudo-seg pipeline,
         # scored as mIoU vs the known synthetic square masks (filler ids
@@ -297,6 +350,7 @@ def eval_mode(name, params, cfg, images, labels, truth=None, seg_gt=None,
             # path's — the artifact-level fidelity the top-16 overlap
             # only proxies
             row["seg_match"] = float((row["seg"] == truth["seg"]).mean())
+        tie_margins(row, truth, cfg, mask_threshold=cfg.mask_threshold)
     return row
 
 
@@ -304,9 +358,10 @@ def main():
     from vision_transformer_cam_tpu.utils import (check_cli_flags,
                                                   honor_jax_platforms_env)
     honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must actually stick
-    check_cli_flags(sys.argv, bool_flags=("--sabotage",),
+    check_cli_flags(sys.argv, bool_flags=("--sabotage", "--pairs"),
                     value_flags=("--steps", "--batch", "--eval", "--chunk",
-                                 "--seed", "--model"),
+                                 "--seed", "--model", "--freeze",
+                                 "--objects", "--size_lo", "--size_hi"),
                     prog="quality_eval.py")
 
     def arg(flag, default):
@@ -324,6 +379,14 @@ def main():
     seed = arg("--seed", 0)
     model = sys.argv[sys.argv.index("--model") + 1] \
         if "--model" in sys.argv else "vit_base_patch16_224_in21k"
+    # protocol knobs (round-4 diagnosis, seg_diagnose.py): --pairs switches
+    # to the relational two-square protocol; --freeze K leaves blocks 0..K-1
+    # at random init so selection emerges where the reference pipeline
+    # reads it (blocks >= 4); --objects/--size_* control the plain protocol
+    data_kw = dict(max_objects=arg("--objects", 1),
+                   size_lo=arg("--size_lo", 5), size_hi=arg("--size_hi", 3),
+                   pairs="--pairs" in sys.argv)
+    freeze_below = arg("--freeze", 0)
 
     base = configs.resolve_model(model)(num_classes=NUM_CLASSES)
     base = base.replace(representation_size=None)
@@ -333,10 +396,13 @@ def main():
     tune_tpu_for_long_sequence(base)
 
     print(f"fine-tuning {model} {steps} steps @ batch {batch} "
-          "on synthetic data")
-    params = finetune(steps, batch, model, seed=seed)
+          f"on synthetic data  (protocol: {data_kw}, "
+          f"freeze_below={freeze_below})")
+    params = finetune(steps, batch, model, seed=seed, data_kw=data_kw,
+                      freeze_below=freeze_below)
     images, labels, seg_gt = make_batch(9999 + 100000 * seed, n_eval,
-                                        img=base.img_size, with_seg=True)
+                                        img=base.img_size, with_seg=True,
+                                        **data_kw)
 
     # "highest": on TPU the default matmul precision runs f32 dots as bf16
     # passes (~5e-3 CAM dev vs f64 — BENCHMARKS "f32 fidelity on TPU"), so
@@ -377,7 +443,8 @@ def main():
 
     from vision_transformer_cam_tpu.ops.quant import (calibrate_act_scales,
                                                       quantize_params)
-    calib, _ = make_batch(777 + 100000 * seed, 16, img=base.img_size)
+    calib, _ = make_batch(777 + 100000 * seed, 16, img=base.img_size,
+                          **data_kw)
     scales = calibrate_act_scales(pbf, bf, calib)
     pq = quantize_params(pbf, act_scales=scales)
     # int8_hifi ships with output-only int8 attention I/O (float probs,
@@ -403,15 +470,18 @@ def main():
 
     print(f"\n{'mode':36s} {'mAP_196':>8s} {'mAP_16':>8s} {'mIoU':>6s} "
           f"{'camMaxD':>8s} {'camP99.9':>8s} {'cam>1%':>7s} "
-          f"{'camMeanD':>9s} {'top16ovl':>8s} {'segMatch':>8s}")
+          f"{'camMeanD':>9s} {'top16ovl':>8s} {'segMatch':>8s} "
+          f"{'mskFlip%':>8s} {'tieD.25':>8s} {'tieD16':>8s}")
     for r in rows:
         miou = f" {r['miou']:6.2f}" if "miou" in r else "       "
         extra = (f" {r['cam_max_dev']:8.5f} {r['cam_p999']:8.5f} "
                  f"{r['cam_frac_gt_1pct']:7.4f} {r['cam_mean_dev']:9.6f} "
                  f"{r['top16_overlap']:8.3f}") if "cam_max_dev" in r else ""
         match = f" {r['seg_match']:8.4f}" if "seg_match" in r else ""
+        tie = (f" {100 * r['mask_flip_frac']:8.4f} {r['tie_dist_mask']:8.5f}"
+               f" {r['tie_dist_top16']:8.5f}") if "mask_flip_frac" in r else ""
         print(f"{r['mode']:36s} {r['mAP_196patch']:8.4f} "
-              f"{r['mAP_16patch']:8.4f}{miou}{extra}{match}")
+              f"{r['mAP_16patch']:8.4f}{miou}{extra}{match}{tie}")
 
 
 if __name__ == "__main__":

@@ -477,9 +477,13 @@ def _attn_kernel_seq(q_ref, kv_ref, bgq_ref, bgk_ref, o_ref, cls_ref,
                 else:
                     s = s - jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s)
-                # padded q rows see only killed keys: denom would be 0 and
-                # the division NaN — guard it (real rows always have a
-                # finite-logit key, so this only touches discarded rows)
+                # defensive-only guard: key_kill only kills padded KEY
+                # columns (padded q ROWS attend to the real keys normally
+                # and are sliced off by the wrap), and on the non-clamp
+                # path the row-max subtraction already guarantees
+                # denom >= 1.  Kept as cheap NaN insurance on the clamp
+                # path, where a row of strongly-negative masked logits
+                # could underflow exp to all-zero.
                 denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
                                     1e-30)
                 if q0 == 0:

@@ -359,7 +359,13 @@ def forward_features(params, x, cfg: ViTCAMConfig, *, train=False, rng=None,
                (("attn_block_fusion", cfg.attn_block_fusion),
                 ("mlp_fusion", cfg.mlp_fusion),
                 ("ln_quant_fusion", cfg.ln_quant_fusion),
-                ("int8_fused_gemm", cfg.int8_fused_gemm)) if on]
+                ("int8_fused_gemm", cfg.int8_fused_gemm),
+                # the int8 attention-I/O epilogues are batch-axis kernel
+                # fusions too — the sp kernel path would silently drop them
+                # (serving.apply_seq_parallel clears these with a note; a
+                # hand-built config must get the same signal, not silence)
+                ("int8_attn_io", cfg.int8_attn_io),
+                ("int8_attn_out", cfg.int8_attn_out)) if on]
         if bad:
             raise ValueError(
                 f"cfg.seq_axis={cfg.seq_axis!r} (sequence parallelism) "
