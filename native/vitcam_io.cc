@@ -153,7 +153,142 @@ void resize_normalize(const uint8_t* rgb, int w, int h, int out_size,
 
 }  // namespace
 
+// --- pseudo-seg compose (validate.py:177-257 host half) -------------------
+//
+// The reference composes pseudo-seg labels on the GPU via F.interpolate at
+// each image's ORIGINAL size (validate.py:177-208); per-image dynamic shapes
+// don't jit on TPU, so this framework runs the compose on host.  The numpy
+// implementation (cam/pseudo_seg.py compose_pseudo_seg) was the single
+// largest stage of the end-to-end CAM export pipeline (56.7 ms/img — 75% of
+// the BASELINE-config-#3 budget, BENCHMARKS "End-to-end"); this is its
+// native replacement: one fused pass that upsamples the K cosine maps and
+// the bg rollout row (separable bilinear, half-pixel centers, edge clamp —
+// torch F.interpolate align_corners=False semantics), tracks the per-pixel
+// argmax winner on the fly (the [K, h, w] upsampled stack is never
+// materialized), applies the fg/bg thresholds and maps patch ids to class
+// ids.  All arithmetic is double with the EXACT expression order of
+// np_bilinear_resize (W pass: l + (r - l) * wx per source row; H pass:
+// top + (bot - top) * wy), so outputs are bit-identical to the numpy path
+// and the torch-transliteration golden (tests/test_pseudo_seg.py).
+
+namespace {
+
+struct LerpAxis {
+  std::vector<int> i0, i1;     // clamped gather indices per output pixel
+  std::vector<double> w;       // lerp weight in [0, 1]
+};
+
+// numpy: ys = (arange(o) + 0.5) * (in / o) - 0.5; i0 = clip(floor, 0, in-1);
+// i1 = min(i0 + 1, in - 1); w = clip(ys - i0, 0, 1).
+LerpAxis half_pixel_axis(int in_size, int out_size) {
+  LerpAxis a;
+  a.i0.resize(out_size);
+  a.i1.resize(out_size);
+  a.w.resize(out_size);
+  const double scale = static_cast<double>(in_size) / out_size;
+  for (int x = 0; x < out_size; ++x) {
+    double s = (x + 0.5) * scale - 0.5;
+    double f = std::floor(s);
+    int i0 = static_cast<int>(std::min(std::max(f, 0.0),
+                                       static_cast<double>(in_size - 1)));
+    a.i0[x] = i0;
+    a.i1[x] = std::min(i0 + 1, in_size - 1);
+    a.w[x] = std::min(std::max(s - i0, 0.0), 1.0);
+  }
+  return a;
+}
+
+// One image: cos_maps [k, g, g], bg_row [g, g], patch_to_cls [k] ->
+// out [h, w] int32 class ids (0 = background).
+void compose_one(const double* cos_maps, const double* bg_row,
+                 const int32_t* patch_to_cls, int k, int g, int h, int w,
+                 double fg_thr, double bg_thr, int32_t* out) {
+  LerpAxis ax = half_pixel_axis(g, w);
+  LerpAxis ay = half_pixel_axis(g, h);
+  // W pass once per map (+ bg): [g, g] -> [g, w], matching numpy's
+  // "once per SOURCE row" contract
+  std::vector<double> rows(static_cast<size_t>(k + 1) * g * w);
+  for (int m = 0; m <= k; ++m) {
+    const double* src = (m < k) ? cos_maps + static_cast<size_t>(m) * g * g
+                                : bg_row;
+    double* dst = rows.data() + static_cast<size_t>(m) * g * w;
+    for (int y = 0; y < g; ++y) {
+      const double* srow = src + static_cast<size_t>(y) * g;
+      double* drow = dst + static_cast<size_t>(y) * w;
+      for (int x = 0; x < w; ++x) {
+        double l = srow[ax.i0[x]];
+        double r = srow[ax.i1[x]];
+        drow[x] = l + (r - l) * ax.w[x];
+      }
+    }
+  }
+  // H pass fused with argmax/threshold/compose, one output row at a time
+  std::vector<double> lerped(static_cast<size_t>(k + 1) * w);
+  for (int y = 0; y < h; ++y) {
+    const double wy = ay.w[y];
+    for (int m = 0; m <= k; ++m) {
+      const double* top = rows.data() + (static_cast<size_t>(m) * g
+                                         + ay.i0[y]) * w;
+      const double* bot = rows.data() + (static_cast<size_t>(m) * g
+                                         + ay.i1[y]) * w;
+      double* dst = lerped.data() + static_cast<size_t>(m) * w;
+      for (int x = 0; x < w; ++x) dst[x] = top[x] + (bot[x] - top[x]) * wy;
+    }
+    const double* bg_up = lerped.data() + static_cast<size_t>(k) * w;
+    int32_t* orow = out + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) {
+      // np.argmax tie-break: first maximum wins -> strict >
+      int winner = 0;
+      double best = lerped[x];
+      for (int m = 1; m < k; ++m) {
+        double v = lerped[static_cast<size_t>(m) * w + x];
+        if (v > best) { best = v; winner = m; }
+      }
+      bool keep = best >= fg_thr && bg_up[x] >= bg_thr;
+      orow[x] = keep ? patch_to_cls[winner] + 1 : 0;
+    }
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+// Compose one image's pseudo-seg labels.  All-double math, bit-identical to
+// the numpy path.  out: [h, w] int32.
+void vitcam_compose_one(const double* cos_maps, const double* bg_row,
+                        const int32_t* patch_to_cls, int k, int g,
+                        int h, int w, double fg_thr, double bg_thr,
+                        int32_t* out) {
+  compose_one(cos_maps, bg_row, patch_to_cls, k, g, h, w, fg_thr, bg_thr,
+              out);
+}
+
+// Batch entry: n images with per-image (h, w) sizes, composed on n_threads
+// std::threads (threaded across images, like the decode path — per-image
+// work is already cache-friendly).  cos_maps: [n, k, g, g]; bg_rows:
+// [n, g, g]; patch_to_cls: [n, k]; sizes: [n, 2] (h, w); outs: n pointers,
+// outs[i] is [sizes[i][0], sizes[i][1]] int32.
+void vitcam_compose_batch(const double* cos_maps, const double* bg_rows,
+                          const int32_t* patch_to_cls, int n, int k, int g,
+                          const int32_t* sizes, double fg_thr, double bg_thr,
+                          int32_t** outs, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      compose_one(cos_maps + static_cast<size_t>(i) * k * g * g,
+                  bg_rows + static_cast<size_t>(i) * g * g,
+                  patch_to_cls + static_cast<size_t>(i) * k,
+                  k, g, sizes[i * 2], sizes[i * 2 + 1], fg_thr, bg_thr,
+                  outs[i]);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(work, t);
+  work(0);
+  for (auto& t : threads) t.join();
+}
 
 // Decode one JPEG -> normalized float32 [out_size, out_size, 3].  0 on ok.
 // C++ exceptions (e.g. std::bad_alloc from a header claiming 65500x65500 —

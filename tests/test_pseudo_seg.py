@@ -109,3 +109,32 @@ def test_patch_class_assignment_mode_semantics():
                                                  0.9))
     nc = probs.shape[-1]
     np.testing.assert_array_equal(got2[0], [0, nc + 1 + 1, nc + 1 + 2])
+
+
+def test_native_compose_bit_identical():
+    """The native fused compose (native/vitcam_io.cc vitcam_compose_*) must
+    be BIT-identical to the numpy reference path — all-double math with the
+    same lerp expression order.  Random maps at several odd VOC-like sizes,
+    thresholds loose enough that fg/bg gates pass both ways."""
+    from vision_transformer_cam_tpu.io import native_loader
+    if not native_loader.compose_available():
+        pytest.skip("native library unavailable (no toolchain)")
+    r = np.random.RandomState(3)
+    n, k, g = 6, 16, 14
+    cos = r.uniform(-1.0, 1.0, (n, k, g, g))
+    bg = r.uniform(0.0, 1.0, (n, g, g))
+    p2c = r.randint(0, 40, (n, k)).astype(np.int64)
+    sizes = [(375, 500), (500, 333), (1, 1), (17, 503), (281, 500), (33, 7)]
+    pcfg = configs.PseudoSegConfig(fg_cos_threshold=0.1,
+                                   bg_rollout_threshold=0.3)
+    batch = native_loader.compose_batch(cos, bg, p2c, sizes,
+                                        pcfg.fg_cos_threshold,
+                                        pcfg.bg_rollout_threshold)
+    for i in range(n):
+        want = ps.compose_pseudo_seg(p2c[i], cos[i], bg[i], sizes[i], pcfg,
+                                     allow_native=False)
+        np.testing.assert_array_equal(ps._narrow_seg(batch[i]), want)
+        # the single-image entry (native-routed) agrees too
+        got = ps.compose_pseudo_seg(p2c[i], cos[i], bg[i], sizes[i], pcfg)
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(got, want)

@@ -125,12 +125,35 @@ def np_bilinear_resize(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
     return top + (bot - top) * wy[:, None]
 
 
+def _narrow_seg(seg: np.ndarray) -> np.ndarray:
+    # uint8 is the palette-PNG contract (VOC: ids <= 2*20+K+2); filler ids
+    # from a num_classes large enough to overflow it would WRAP into
+    # valid-looking foreground classes — keep int64 there instead
+    return seg.astype(np.uint8) if seg.max(initial=0) < 256 \
+        else seg.astype(np.int64)
+
+
 def compose_pseudo_seg(patch_to_cls: np.ndarray, cos_maps: np.ndarray,
                        bg_row: np.ndarray, size: Tuple[int, int],
-                       pcfg: PseudoSegConfig) -> np.ndarray:
+                       pcfg: PseudoSegConfig,
+                       allow_native: bool = True) -> np.ndarray:
     """Per-image host composition (validate.py:177-257) at the original
     (h, w): upsample the K cosine maps + bg row, argmax/threshold, map patch
-    ids to classes (+1 foreground offset), gate by fg and bg masks."""
+    ids to classes (+1 foreground offset), gate by fg and bg masks.
+
+    Routes through the native fused kernel (native/vitcam_io.cc
+    vitcam_compose_one — all-double, same lerp expression order, so outputs
+    are bit-identical; tests/test_pseudo_seg.py pins both paths against the
+    torch transliteration) when the library is available; the numpy below
+    is the reference implementation and the fallback."""
+    if allow_native:
+        from vision_transformer_cam_tpu.io import native_loader
+        if native_loader.compose_available():
+            return _narrow_seg(native_loader.compose_batch(
+                np.asarray(cos_maps)[None], np.asarray(bg_row)[None],
+                np.asarray(patch_to_cls)[None], [size],
+                pcfg.fg_cos_threshold, pcfg.bg_rollout_threshold,
+                num_threads=1)[0])
     cos_up = np_bilinear_resize(cos_maps.astype(np.float64), size)  # [K,h,w]
     winner = np.argmax(cos_up, axis=0)                              # [h, w]
     winner_v = np.max(cos_up, axis=0)
@@ -139,18 +162,22 @@ def compose_pseudo_seg(patch_to_cls: np.ndarray, cos_maps: np.ndarray,
     bg = bg_up >= pcfg.bg_rollout_threshold                         # :244-246
     seg = patch_to_cls.astype(np.int64)[winner] + 1                 # :190-208
     seg = seg * fg * bg                                             # :248-257
-    # uint8 is the palette-PNG contract (VOC: ids <= 2*20+K+2); filler ids
-    # from a num_classes large enough to overflow it would WRAP into
-    # valid-looking foreground classes — keep int64 there instead
-    return seg.astype(np.uint8) if seg.max(initial=0) < 256 else seg
+    return _narrow_seg(seg)
 
 
 def pseudo_seg_batch(out: vit.ViTCAMOutput, cfg: ViTCAMConfig,
                      pcfg: PseudoSegConfig,
                      sizes: Sequence[Tuple[int, int]]) -> List[np.ndarray]:
     """Full pipeline for a batch: device math once, host composition per
-    image at its own original size."""
+    image at its own original size (native threaded kernel when available,
+    numpy fallback otherwise — same bits either way)."""
     dev = jax.device_get(pseudo_seg_device(out, cfg, pcfg))
+    from vision_transformer_cam_tpu.io import native_loader
+    if native_loader.compose_available():
+        return [_narrow_seg(s) for s in native_loader.compose_batch(
+            dev.cos_maps, dev.bg_row, dev.patch_to_cls, sizes,
+            pcfg.fg_cos_threshold, pcfg.bg_rollout_threshold)]
     return [compose_pseudo_seg(dev.patch_to_cls[i], dev.cos_maps[i],
-                               dev.bg_row[i], sizes[i], pcfg)
+                               dev.bg_row[i], sizes[i], pcfg,
+                               allow_native=False)
             for i in range(len(sizes))]

@@ -75,6 +75,18 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        if hasattr(lib, "vitcam_compose_batch"):
+            dbl = ctypes.POINTER(ctypes.c_double)
+            i32 = ctypes.POINTER(ctypes.c_int32)
+            lib.vitcam_compose_one.restype = None
+            lib.vitcam_compose_one.argtypes = [
+                dbl, dbl, i32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_double, ctypes.c_double, i32]
+            lib.vitcam_compose_batch.restype = None
+            lib.vitcam_compose_batch.argtypes = [
+                dbl, dbl, i32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                i32, ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(i32), ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -106,3 +118,41 @@ def decode_batch(items: Sequence, img_size: int = 224,
     if fails:
         raise ValueError(f"{fails}/{n} JPEGs failed to decode")
     return out
+
+
+def compose_available() -> bool:
+    """The compose entry points postdate the decode ones — a stale prebuilt
+    .so (no toolchain on a deploy box) may lack them."""
+    lib = load_library()
+    return lib is not None and hasattr(lib, "vitcam_compose_batch")
+
+
+def compose_batch(cos_maps: np.ndarray, bg_rows: np.ndarray,
+                  patch_to_cls: np.ndarray, sizes, fg_thr: float,
+                  bg_thr: float, num_threads: int = 0) -> list:
+    """Native pseudo-seg compose (validate.py:177-257 host half), threaded
+    across images.  cos_maps [N, K, g, g], bg_rows [N, g, g],
+    patch_to_cls [N, K]; sizes: per-image (h, w).  Returns a list of
+    [h_i, w_i] int32 class-id maps, bit-identical to
+    cam.pseudo_seg.compose_pseudo_seg's numpy math (all-double, same lerp
+    expression order)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "vitcam_compose_batch"):
+        raise RuntimeError("native compose unavailable")
+    cm = np.ascontiguousarray(cos_maps, np.float64)
+    bg = np.ascontiguousarray(bg_rows, np.float64)
+    p2c = np.ascontiguousarray(patch_to_cls, np.int32)
+    n, k, g, _ = cm.shape
+    sz = np.ascontiguousarray(np.asarray(sizes, np.int32).reshape(n, 2))
+    outs = [np.empty((int(h), int(w)), np.int32) for h, w in sz]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    out_ptrs = (i32p * n)(*[o.ctypes.data_as(i32p) for o in outs])
+    if num_threads <= 0:
+        num_threads = min(n, os.cpu_count() or 1)
+    lib.vitcam_compose_batch(
+        cm.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        bg.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        p2c.ctypes.data_as(i32p), n, k, g,
+        sz.ctypes.data_as(i32p), float(fg_thr), float(bg_thr),
+        out_ptrs, num_threads)
+    return outs
