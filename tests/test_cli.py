@@ -194,6 +194,48 @@ def test_make_splits_aug_list(tmp_path):
     assert len(tav) == 5 and any("2007_000003" in l for l in tav)
 
 
+def test_convert_sbd(tmp_path):
+    """tools convert_sbd: synthesized SBD benchmark_RELEASE .mat fixtures
+    (MATLAB v5 GTcls struct, the layout scipy.io.savemat round-trips) ->
+    VOC-palette PNGs whose pixel ids match the Segmentation field exactly —
+    closing the last manual step of the train_aug recipe
+    (docs/training.md; /root/reference/voc12/train_aug.txt)."""
+    pytest.importorskip("scipy.io")
+    import PIL.Image
+    from scipy.io import savemat
+
+    from vision_transformer_cam_tpu.cli import tools
+    from vision_transformer_cam_tpu.data.palette import voc_palette_flat
+    mat_dir = tmp_path / "cls"
+    mat_dir.mkdir()
+    r = np.random.RandomState(0)
+    segs = {}
+    for name in ("2008_000123", "2008_000456", "2009_000001"):
+        seg = r.randint(0, 21, size=(37, 45)).astype(np.uint8)
+        segs[name] = seg
+        savemat(str(mat_dir / f"{name}.mat"),
+                {"GTcls": {"Segmentation": seg,
+                           "CategoriesPresent": np.unique(seg)[None]}})
+    root = tmp_path / "voc"
+    tools.main(["convert_sbd", "--mat_dir", str(mat_dir),
+                "--voc12_root", str(root)])
+    out = root / "SegmentationClassAug"
+    assert sorted(p.name for p in out.iterdir()) == \
+        [f"{n}.png" for n in sorted(segs)]
+    for name, seg in segs.items():
+        img = PIL.Image.open(out / f"{name}.png")
+        assert img.mode == "P"
+        np.testing.assert_array_equal(np.asarray(img), seg)
+        assert list(img.getpalette()[:30]) == list(voc_palette_flat()[:30])
+    # --id_list restricts the set (SBD dataset/train.txt format)
+    lst = tmp_path / "ids.txt"
+    lst.write_text("2008_000123\n")
+    out2 = tmp_path / "only"
+    tools.main(["convert_sbd", "--mat_dir", str(mat_dir),
+                "--out_dir", str(out2), "--id_list", str(lst)])
+    assert [p.name for p in out2.iterdir()] == ["2008_000123.png"]
+
+
 def test_validate_cli_pallas_impl(voc_tree, tmp_path, tiny_zoo, monkeypatch):
     from vision_transformer_cam_tpu.cli import validate as vcli
     monkeypatch.chdir(tmp_path)

@@ -150,6 +150,27 @@ def cmd_convert(args):
     print(f"wrote {args.out}")
 
 
+def cmd_convert_sbd(args):
+    """SBD benchmark_RELEASE .mat ground truth -> VOC-palette PNGs in
+    SegmentationClassAug/ — the last manual link in reproducing the
+    reference's train_aug split (docs/training.md 'Reconstructing the
+    train_aug split'; /root/reference/voc12/train_aug.txt)."""
+    import os
+
+    from vision_transformer_cam_tpu.data.voc12 import convert_sbd
+    ids = None
+    if args.id_list:
+        with open(args.id_list) as f:
+            ids = sorted({os.path.splitext(os.path.basename(
+                line.strip().split()[0]))[0] for line in f if line.strip()})
+    out_dir = args.out_dir or os.path.join(args.voc12_root,
+                                           "SegmentationClassAug")
+    if not args.out_dir and not args.voc12_root:
+        raise SystemExit("pass --out_dir or --voc12_root")
+    n = convert_sbd(args.mat_dir, out_dir, ids)
+    print(f"converted {n} SBD .mat files -> {out_dir}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -188,6 +209,18 @@ def build_parser():
     cv.add_argument("--model_name", default="vit_base_patch16_224_in21k")
     cv.add_argument("--num_classes", type=int, default=20)
     cv.set_defaults(fn=cmd_convert)
+
+    cs = sub.add_parser("convert_sbd")
+    cs.add_argument("--mat_dir", required=True,
+                    help="SBD benchmark_RELEASE/dataset/cls directory")
+    cs.add_argument("--voc12_root", default="",
+                    help="write PNGs to <root>/SegmentationClassAug/")
+    cs.add_argument("--out_dir", default="",
+                    help="explicit output directory (overrides --voc12_root)")
+    cs.add_argument("--id_list", default="",
+                    help="convert only these ids (SBD dataset/*.txt format "
+                         "accepted); default: every .mat in --mat_dir")
+    cs.set_defaults(fn=cmd_convert_sbd)
 
     f = sub.add_parser("flops")
     f.add_argument("--dim", type=int, default=512)
