@@ -71,6 +71,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--zero1", action="store_true",
                    help="shard the adamw moments over the data axis "
                         "(ZeRO-1; saves (dp-1)/dp of optimizer-state HBM)")
+    p.add_argument("--seq_parallel", type=int, default=0,
+                   help="token-axis sharding over N devices (dp x sp mesh; "
+                        "the long-N layout — ViT-L@384-class shapes where "
+                        "the per-device [B,N,N] attention footprint is the "
+                        "limit).  Training attention runs the XLA path "
+                        "under sp (the bwd kernel is batch-axis); overrides "
+                        "--mesh_shape")
+    p.add_argument("--pipeline", type=int, default=0,
+                   help="pipeline parallelism: stage-shard the depth over "
+                        "N devices (dp x pp mesh, GPipe fill-and-drain "
+                        "schedule, parallel/pipeline.py).  Implies "
+                        "per-sample mask normalization (the batch-global "
+                        "reference form would couple samples across "
+                        "microbatches); requires zero drop ratios; "
+                        "overrides --mesh_shape")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="microbatches per pipeline step (0 = stage count)")
     p.add_argument("--device", type=str, default="", help="ignored (SPMD)")
     p.add_argument("--local_rank", type=int, default=0,
                    help="accepted for parity; jax discovers processes itself")
@@ -93,14 +110,31 @@ def main(argv=None):
         warmup_lr=args.warmup_lr, min_lr=args.min_lr,
         decay_epochs=args.decay_epochs, decay_rate=args.decay_rate,
         cooldown_epochs=args.cooldown_epochs, clip_grad=args.clip_grad)
-    mesh_shape = tuple(int(s) for s in args.mesh_shape.split(","))
-    mesh_axes = ("data", "model")[:len(mesh_shape)] if len(mesh_shape) <= 2 \
-        else tuple(f"ax{i}" for i in range(len(mesh_shape)))
+    if args.seq_parallel and args.pipeline:
+        raise SystemExit("--seq_parallel and --pipeline are distinct mesh "
+                         "layouts; pick one (dp composes with either)")
+    if args.seq_parallel:
+        # (dp, sp) mesh; the model config carries the GSPMD axis names the
+        # token-sharding constraints read (models/vit._sp)
+        mesh_shape, mesh_axes = (-1, args.seq_parallel), ("data", "seq")
+        model_cfg = model_cfg.replace(data_axis="data", seq_axis="seq")
+    elif args.pipeline:
+        mesh_shape, mesh_axes = (-1, args.pipeline), ("data", "stage")
+        # microbatched carry -> per-sample mask norm (parallel/pipeline.py
+        # module docs; the reference's batch-global max would make results
+        # depend on the microbatch count)
+        model_cfg = model_cfg.replace(per_sample_mask_norm=True)
+    else:
+        mesh_shape = tuple(int(s) for s in args.mesh_shape.split(","))
+        mesh_axes = ("data", "model")[:len(mesh_shape)] \
+            if len(mesh_shape) <= 2 \
+            else tuple(f"ax{i}" for i in range(len(mesh_shape)))
     train_cfg = configs.TrainConfig(
         optim=optim, batch_size=args.batch_size, seed=args.seed,
         freeze_backbone=args.freeze_layers, ckpt_dir=args.ckpt_dir,
         mesh_shape=mesh_shape, mesh_axes=mesh_axes,
-        grad_accum=args.grad_accum, zero1=args.zero1)
+        grad_accum=args.grad_accum, zero1=args.zero1,
+        pipeline=args.pipeline, pp_microbatches=args.pp_microbatches)
     dc = dict(voc12_root=args.dataset_path,
               cls_labels_path=args.cls_labels_path,
               img_size=model_cfg.img_size,

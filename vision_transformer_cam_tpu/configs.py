@@ -269,6 +269,13 @@ class TrainConfig:
     # ZeRO-1: shard the adamw moments over the 'data' axis
     # (parallel/mesh.zero1_opt_pspecs); params stay replicated/tp-sharded
     zero1: bool = False
+    # pipeline parallelism: number of stages over a 'stage' mesh axis
+    # (parallel/pipeline.pipeline_train_step); 0 = off.  Requires
+    # per_sample_mask_norm (set by the train entry) and zero drop ratios
+    # (the pipeline blocks take no dropout RNG).
+    pipeline: int = 0
+    # microbatches per pipeline step; 0 = the stage count (smallest fill)
+    pp_microbatches: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -132,7 +132,8 @@ def apply_seq_parallel(cfg):
                      ("mlp_fusion", cfg.mlp_fusion),
                      ("ln_quant_fusion", cfg.ln_quant_fusion),
                      ("int8_fused_gemm", cfg.int8_fused_gemm),
-                     ("int8_attn_io", cfg.int8_attn_io)) if on]
+                     ("int8_attn_io", cfg.int8_attn_io),
+                     ("int8_attn_out", cfg.int8_attn_out)) if on]
     if fusion_knobs:
         print(f"note: sequence parallelism keeps the attention kernel "
               f"(token-sharded shard_map) but overrides batch-axis "
@@ -142,6 +143,7 @@ def apply_seq_parallel(cfg):
     return cfg.replace(attn_block_fusion=False,
                        mlp_fusion=False, ln_quant_fusion=False,
                        int8_fused_gemm=False, int8_attn_io=False,
+                       int8_attn_out=False,
                        data_axis="data", seq_axis="seq")
 
 

@@ -46,7 +46,7 @@ def _log_line(path: Optional[str], text: str):
 
 
 def train_one_epoch(state, loader, rng, cfg, tx, mesh, epoch, log_every=50,
-                    grad_accum=1):
+                    grad_accum=1, pipeline=0, pp_microbatches=0):
     """utils.py:144-203 as a sharded-step loop.  Returns (state, means)."""
     sums, steps = {}, 0
     sharding = meshlib.data_sharding(mesh)
@@ -57,7 +57,13 @@ def train_one_epoch(state, loader, rng, cfg, tx, mesh, epoch, log_every=50,
                            and mesh.shape["data"] > 1) else None
     t0 = time.time()
     for batch in device_prefetch(loader, sharding):
-        if grad_accum > 1:
+        if pipeline:
+            from vision_transformer_cam_tpu.parallel import pipeline as pplib
+            state, metrics = pplib.pipeline_train_step(
+                state, batch["image"], batch["label"], cfg, tx, mesh,
+                data_axis=data_axis,
+                microbatches=pp_microbatches or None)
+        elif grad_accum > 1:
             state, metrics = train_step_accum(
                 state, batch["image"], batch["label"], rng, cfg, tx,
                 grad_accum, data_axis=data_axis)
@@ -183,11 +189,33 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
     tx, schedule = make_optimizer(
         train_cfg.optim, train_cfg.batch_size, max(len(loader), 1),
         freeze_mask=mask if train_cfg.freeze_backbone else None)
+    if train_cfg.pipeline:
+        # pipeline training guards (parallel/pipeline.py docs): the tick
+        # schedule takes no dropout RNG, grad-accum/zero1 compose with the
+        # dp/tp path only, and the microbatched carry requires per-sample
+        # mask normalization (set by the CLI)
+        if train_cfg.grad_accum > 1 or train_cfg.zero1:
+            raise ValueError("--pipeline composes with dp (and per-stage "
+                             "microbatching IS accumulation); drop "
+                             "--grad_accum/--zero1")
+        if (model_cfg.drop_ratio or model_cfg.attn_drop_ratio
+                or model_cfg.drop_path_ratio):
+            raise ValueError("pipeline training is deterministic (no "
+                             "dropout RNG threads through the tick "
+                             "schedule); set the drop ratios to 0")
+        if model_cfg.depth % train_cfg.pipeline:
+            raise ValueError(f"depth {model_cfg.depth} not divisible by "
+                             f"{train_cfg.pipeline} pipeline stages")
     # honor a 'model' mesh axis: tensor-parallel params over heads/MLP
     # (without this the axis silently duplicated work — review finding)
     model_axis = "model" if "model" in mesh.axis_names \
         and mesh.shape["model"] > 1 else None
-    params = meshlib.shard_params(mesh, init_params, model_axis=model_axis)
+    if train_cfg.pipeline:
+        from vision_transformer_cam_tpu.parallel import pipeline as pplib
+        params = pplib.stage_shard_params(mesh, init_params)
+    else:
+        params = meshlib.shard_params(mesh, init_params,
+                                      model_axis=model_axis)
     state = create_train_state(params, tx)
     if train_cfg.zero1:
         # ZeRO-1: re-place the adamw moments sharded over 'data' — GSPMD
@@ -236,7 +264,10 @@ def fit(model_cfg: configs.ViTCAMConfig, train_cfg: configs.TrainConfig,
             loader.set_epoch(epoch)
             state, tm = train_one_epoch(state, loader, rng, model_cfg, tx,
                                         mesh, epoch, train_cfg.log_every,
-                                        grad_accum=train_cfg.grad_accum)
+                                        grad_accum=train_cfg.grad_accum,
+                                        pipeline=train_cfg.pipeline,
+                                        pp_microbatches=train_cfg
+                                        .pp_microbatches)
             em = evaluate(state.params, val_loader, model_cfg, mesh)
             lr = float(schedule(state.step))
             _log_line(log_path,
