@@ -136,6 +136,12 @@ def main(argv=None):
                          "per-dot rounding without the 0.25-threshold tie "
                          "cascade); -1 = model default")
     ap.add_argument("--ref", default="f64", choices=("f64", "f32"))
+    ap.add_argument("--hybrid", action="store_true",
+                    help="add the 'highest-where-it-matters' rung (round-4 "
+                         "verdict item 5): int8 W8A8 GEMMs + true-f32 "
+                         "(highest) attention core + f32 rollout chain — "
+                         "quantization where fidelity is cheap, full "
+                         "precision where the CAM is made")
     ap.add_argument("--_ref_out", default="")
     args = ap.parse_args(argv)
     mask_from = None if args.mask_from < 0 else args.mask_from
@@ -166,10 +172,26 @@ def main(argv=None):
     tune_tpu_for_long_sequence(cfg_probe)
 
     rows = []
-    for prec in args.precisions.split(","):
-        for impl in args.impls.split(","):
+    combos = [(prec, impl, False) for prec in args.precisions.split(",")
+              for impl in args.impls.split(",")]
+    if args.hybrid:
+        combos += [("highest", impl, True)
+                   for impl in args.impls.split(",")]
+    for prec, impl, hybrid in combos:
             cfg = _build(args.model, impl, prec, mask_from)
             params, dev_images = _params_images(cfg, args.dev_batch)
+            if hybrid:
+                # int8 GEMM tier on the SAME float params: the deviation
+                # then isolates what W8A8 GEMM quantization adds on top of
+                # a true-f32 attention core + rollout chain
+                from vision_transformer_cam_tpu.ops.quant import (
+                    calibrate_act_scales, quantize_params)
+                calib = jax.random.normal(
+                    jax.random.key(7), (8, cfg.img_size, cfg.img_size, 3),
+                    jnp.float32)
+                scales = calibrate_act_scales(params, cfg, calib)
+                params = quantize_params(params, act_scales=scales)
+                impl = f"{impl}+int8gemm"
             fn = _cam_fn(cfg)
             cam, logits = fn(params, dev_images)
             cam = np.asarray(cam, np.float64)
