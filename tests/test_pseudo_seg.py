@@ -138,3 +138,97 @@ def test_native_compose_bit_identical():
         got = ps.compose_pseudo_seg(p2c[i], cos[i], bg[i], sizes[i], pcfg)
         assert got.dtype == want.dtype
         np.testing.assert_array_equal(got, want)
+
+
+def test_sabotage_power_of_bg_gate():
+    """Protocol-power regression check (round-4 verdict item 8): the
+    pseudo-seg pipeline's mIoU must be SENSITIVE to the bg rollout gate, so
+    a regression in the gate plumbing (threshold not applied, normalization
+    moved, rollout row mis-sliced) fails CI instead of hiding behind a flat
+    metric.
+
+    The trained-model power proof lives in BENCHMARKS (quality_eval
+    --sabotage on the TPU: a 600-step freeze-4 fine-tune).  Tiny models
+    don't learn the protocol on CPU in test time, so this fabricates a
+    localizing ViTCAMOutput whose statistics mirror the measured trained
+    model (seg_diagnose, 600-step freeze-4 run): winner_v saturated >= 0.5
+    on fg AND bg (cos maps collapse — ALL discrimination flows through the
+    bg gate + class assignment), bg rollout values spread over [0.1, 1] on
+    GT-fg patches (measured mean 0.57) and ~0.005 on bg.  Asserts:
+      1. truth protocol mIoU is high (the gate works);
+      2. the sabotaged gate (0.05 -> 0.5, quality_eval --sabotage) visibly
+         degrades it;
+      3. removing the gate entirely (threshold 0.0) craters it — the gate
+         carries the discrimination, exactly as measured."""
+    import importlib.util
+    import pathlib
+
+    from vision_transformer_cam_tpu.cam.pseudo_seg import pseudo_seg_batch
+    from vision_transformer_cam_tpu.models.vit import ViTCAMOutput
+    from vision_transformer_cam_tpu.utils.metrics import ConfusionMatrix
+    spec = importlib.util.spec_from_file_location(
+        "quality_eval", pathlib.Path(__file__).resolve().parents[1]
+        / "scripts/quality_eval.py")
+    qe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qe)
+
+    NC, B, IMG = 20, 24, 64
+    cfg = configs.ViTCAMConfig(img_size=IMG, patch_size=8, embed_dim=18,
+                               num_classes=NC, depth=6, num_heads=1,
+                               top_k_patches=8)
+    cfg = cfg.replace(dtype=jnp.float32, param_dtype=jnp.float32)
+    g, P, N = cfg.grid_size, cfg.grid_size ** 2, cfg.seq_len
+    K, D = cfg.top_k_patches, cfg.embed_dim
+    r = np.random.RandomState(0)
+    _, labels, segs = qe.make_batch(1234, B, img=IMG, with_seg=True)
+    labels = np.asarray(labels)
+    px = IMG // g
+    fg_patch = (segs.reshape(B, g, px, g, px) > 0).mean(
+        axis=(2, 4)).reshape(B, P) > 0.5
+
+    cls_rows = np.full((cfg.depth, B, N), 1.0 / N, np.float32)
+    head1_logits = np.full((B, NC), -5.0, np.float32)
+    tokens = np.zeros((B, N, D), np.float32)
+    top_embeds = np.zeros((B, K, D), np.float32)
+    top_idx = np.zeros((B, K), np.int32)
+    kernel_t = np.zeros((NC, D), np.float32)
+    for b in range(B):
+        c = int(np.argmax(labels[b]))
+        head1_logits[b, c] = 5.0       # sigmoid 0.993 >= cls_threshold 0.9
+        kernel_t[c, :] = 1.0           # every feature -> the predicted class
+        v = np.full(P, 0.005, np.float64)
+        v[fg_patch[b]] = r.uniform(0.10, 1.0, int(fg_patch[b].sum()))
+        cls_rows[5:, b, 1:] = v[None, :]   # bg_blocks_from=5 reads these
+        # every patch shares the fg direction: winner_v ~0.92 everywhere,
+        # mirroring the measured saturation
+        tokens[b, 1:, D - 2] = 1.0
+        top_idx[b] = np.argsort(-v)[:K]
+        for k in range(K):
+            top_embeds[b, k, 2 * k:2 * k + 2] = 0.3  # contrib identity
+            top_embeds[b, k, D - 2] = 1.0
+    out = ViTCAMOutput(
+        logits=jnp.asarray(head1_logits), dist_logits=None,
+        head1_logits=jnp.asarray(head1_logits),
+        attn_cls_rows=jnp.asarray(cls_rows),
+        top_patch_embeds=jnp.asarray(top_embeds),
+        top_patch_idx=jnp.asarray(top_idx),
+        head1_kernel=jnp.asarray(kernel_t.T),
+        attn_headmean=None, attn_perhead=None, block_outputs=None,
+        rollout_row=None, tokens_prenorm=jnp.asarray(tokens))
+
+    def miou(pcfg):
+        preds = pseudo_seg_batch(out, cfg, pcfg, [(IMG, IMG)] * B)
+        preds = np.stack(preds).astype(np.int64)
+        preds[preds > NC] = 0
+        cm = ConfusionMatrix(NC)
+        cm.update(segs.reshape(-1).astype(np.int64), preds.reshape(-1))
+        _, _, iou = cm.compute()
+        return float(np.nanmean(np.asarray(iou)) * 100)
+
+    good = miou(configs.PseudoSegConfig())
+    bad = miou(configs.PseudoSegConfig(bg_rollout_threshold=0.5))
+    off = miou(configs.PseudoSegConfig(bg_rollout_threshold=0.0))
+    assert good >= 50, f"truth mIoU {good} — the gate should localize"
+    assert bad <= 0.8 * good, f"sabotage {bad} vs truth {good}: no power"
+    assert off <= good / 5, f"gate-off {off} vs truth {good}: the bg gate " \
+                            "no longer carries the discrimination"
