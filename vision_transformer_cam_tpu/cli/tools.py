@@ -9,6 +9,10 @@
                      multi-head attention (dim 512, 1024 tokens, batch 32 by
                      default), computed from first principles instead of
                      fvcore tracing.
+  convert_sbd      — SBD benchmark_RELEASE .mat ground truth -> VOC-palette
+                     PNGs (the SegmentationClassAug convention); the last
+                     link of the train_aug reconstruction chain
+                     (docs/training.md).
 """
 
 from __future__ import annotations
