@@ -256,14 +256,26 @@ def tie_margins(row, truth, cfg, mask_threshold=0.25):
       maskFlip%: fraction of (layer, image, patch) 0.25-mask-feedback
                  decisions that differ from truth across ALL L layers —
                  the cascade's source population;
-      tieD.25:   median |truth_mask - 0.25| over those flips;
+      tieD.25:   median min(|truth_mask - 0.25|, |mode_mask - 0.25|) over
+                 those flips — the boundary distance of whichever side was
+                 near the threshold.  (Truth-side distance alone is
+                 uninformative here: a patch the truth's bg feedback
+                 masked underflows to exactly 0 post-softmax, so every
+                 downstream cascade site prints |0 - 0.25| = 0.25000
+                 regardless of how the divergence started — first measured
+                 on the round-5 ViT-B run.  The min-distance asks the
+                 right question at both the ORIGIN flip, where one side
+                 sat near 0.25, and at cascade sites, where the mode's
+                 unmasked value may also be far from the boundary.);
       tieD16:    median distance of top-16 membership flips from the
                  truth's own 16th/17th-value boundary (last layer)."""
     mt = _mask_stack(truth["cls_rows"], cfg.num_tokens)
     mm = _mask_stack(row["cls_rows"], cfg.num_tokens)
     flips = (mt >= mask_threshold) != (mm >= mask_threshold)
     row["mask_flip_frac"] = float(flips.mean())
-    row["tie_dist_mask"] = float(np.median(np.abs(mt[flips] - mask_threshold))) \
+    row["tie_dist_mask"] = float(np.median(np.minimum(
+        np.abs(mt[flips] - mask_threshold),
+        np.abs(mm[flips] - mask_threshold)))) \
         if flips.any() else float("nan")
     last_t, last_m = mt[-1], mm[-1]
     d16 = []
