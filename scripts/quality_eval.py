@@ -373,7 +373,8 @@ def main():
     check_cli_flags(sys.argv, bool_flags=("--sabotage", "--pairs"),
                     value_flags=("--steps", "--batch", "--eval", "--chunk",
                                  "--seed", "--model", "--freeze",
-                                 "--objects", "--size_lo", "--size_hi"),
+                                 "--objects", "--size_lo", "--size_hi",
+                                 "--params"),
                     prog="quality_eval.py")
 
     def arg(flag, default):
@@ -407,11 +408,29 @@ def main():
     from vision_transformer_cam_tpu.utils import tune_tpu_for_long_sequence
     tune_tpu_for_long_sequence(base)
 
-    print(f"fine-tuning {model} {steps} steps @ batch {batch} "
-          f"on synthetic data  (protocol: {data_kw}, "
-          f"freeze_below={freeze_below})")
-    params = finetune(steps, batch, model, seed=seed, data_kw=data_kw,
-                      freeze_below=freeze_below)
+    # --params PATH: cache the fine-tuned weights across runs — the eval
+    # half (metric changes, added modes) then re-runs without re-paying the
+    # 10-20 min TPU fine-tune.  Loads if PATH exists, else fine-tunes and
+    # saves.  The path is trusted to match (model, seed, protocol); keep
+    # those in the filename.
+    params_path = sys.argv[sys.argv.index("--params") + 1] \
+        if "--params" in sys.argv else ""
+    if params_path and os.path.exists(params_path):
+        import pickle
+        with open(params_path, "rb") as f:
+            params = pickle.load(f)
+        print(f"loaded fine-tuned params from {params_path}")
+    else:
+        print(f"fine-tuning {model} {steps} steps @ batch {batch} "
+              f"on synthetic data  (protocol: {data_kw}, "
+              f"freeze_below={freeze_below})")
+        params = finetune(steps, batch, model, seed=seed, data_kw=data_kw,
+                          freeze_below=freeze_below)
+        if params_path:
+            import pickle
+            with open(params_path, "wb") as f:
+                pickle.dump(jax.device_get(params), f)
+            print(f"saved fine-tuned params to {params_path}")
     images, labels, seg_gt = make_batch(9999 + 100000 * seed, n_eval,
                                         img=base.img_size, with_seg=True,
                                         **data_kw)
