@@ -1031,7 +1031,17 @@ def attention_pallas(ap, x, bg, cfg, rngs, need_probs, joint=None,
     # routes to XLA (the backward kernel would hit the same lowering gap).
     high_prec = (cfg.matmul_precision == "high"
                  and jax.default_backend() == "tpu")
+    # Training past 640 rows routes wholly to XLA, matching _fused_bwd
+    # (which already does): the TRAINING softmax (max-subtract, no clamp)
+    # keeps row-max/renorm buffers live across the Python-unrolled q-block
+    # iterations, and at N=1025 the forward kernel's scoped-VMEM stack is
+    # 85.3 MB at the auto q_block — beyond every partition this chip
+    # offers (measured on the ViT-L/16@512 fine-tune, round 5).  The
+    # SERVING softmax (clamp: one fused min) stays Pallas at every N.
+    train_long_n = (train and cfg.seq_len > 640
+                    and jax.default_backend() == "tpu")
     if need_probs == "perhead" or needs_dropout or f32_long_n \
+            or train_long_n \
             or (train and (no_vjp_variant or cfg.seq_axis is not None
                            or high_prec)):
         from vision_transformer_cam_tpu.models.vit import _attention_xla
