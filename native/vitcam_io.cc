@@ -16,6 +16,7 @@
 #include <cstdio>
 
 #include <jpeglib.h>
+#include <zlib.h>
 
 #include <algorithm>
 #include <cmath>
@@ -289,6 +290,289 @@ void vitcam_compose_batch(const double* cos_maps, const double* bg_rows,
   work(0);
   for (auto& t : threads) t.join();
 }
+
+// --- palette-PNG writer + CAM-overlay renderer (round 5) ------------------
+//
+// After the native compose landed, the two largest host stages of the
+// end-to-end CAM export pipeline (BENCHMARKS "End-to-end") became the
+// artifact WRITES: the CAM-overlay jpg (reference utils.py:111-129 —
+// re-open source JPEG, JET colormap, 0.3/0.5 blend, JPEG write; 7.9 ms/img
+// via PIL+cv2) and the palette PNG (reference validate.py:258-262 —
+// ToPILImage + putpalette + save; 6.0 ms/img via PIL).  These are their
+// native replacements, threaded across images like the decode path.
+//
+// Contracts: the PNG's DECODED content (indices + palette) is exactly what
+// PIL writes — the bytes differ (deflate level), the artifact doesn't.
+// The overlay's composed RGB matches the Python fallback path's math
+// (PIL-semantics u8 resize, LUT, double 0.3/0.5 blend, truncating cast) to
+// ±2 8-bit steps (PIL resamples u8 in 8-bit fixed point, we use float —
+// the same ~1/255 class as the decode path's documented divergence; the
+// blend scales a ±1 resample step by 0.3, plus the truncating cast); the
+// JET LUT itself is passed in from Python, so cv2's exact colormap is used
+// when cv2 is present.  JPEG encode: libjpeg, quality as passed (the
+// Python paths themselves differ between cv2 and PIL encoders already).
+
+namespace {
+
+// PIL-semantics separable triangle resize of a single-channel u8 image
+// (same coeff computation as resize_normalize; float accumulation,
+// round-half-up like PIL's clip8).
+void resize_u8(const uint8_t* src, int w, int h, int ow, int oh,
+               uint8_t* dst) {
+  Coeffs cx = triangle_coeffs(w, ow);
+  Coeffs cy = triangle_coeffs(h, oh);
+  std::vector<float> tmp(static_cast<size_t>(h) * ow);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * w;
+    float* trow = tmp.data() + static_cast<size_t>(y) * ow;
+    for (int xx = 0; xx < ow; ++xx) {
+      const float* wp = cx.w.data() + static_cast<size_t>(xx) * cx.kmax;
+      float acc = 0.f;
+      int x0 = cx.xmin[xx];
+      for (int i = 0; i < cx.xsize[xx]; ++i) acc += wp[i] * row[x0 + i];
+      trow[xx] = acc;
+    }
+  }
+  for (int yy = 0; yy < oh; ++yy) {
+    const float* wp = cy.w.data() + static_cast<size_t>(yy) * cy.kmax;
+    int y0 = cy.xmin[yy];
+    uint8_t* orow = dst + static_cast<size_t>(yy) * ow;
+    for (int xx = 0; xx < ow; ++xx) {
+      float acc = 0.f;
+      for (int i = 0; i < cy.xsize[yy]; ++i)
+        acc += wp[i] * tmp[static_cast<size_t>(y0 + i) * ow + xx];
+      int v = static_cast<int>(acc + 0.5f);
+      orow[xx] = static_cast<uint8_t>(std::min(std::max(v, 0), 255));
+    }
+  }
+}
+
+// cam_norm (utils.py:80-88): (cam - min) -> uint8(255 * cam / max(max, eps))
+// with numpy's truncating uint8 cast.
+void cam_norm_u8(const double* cam, int n, uint8_t* out) {
+  double lo = cam[0], hi = cam[0];
+  for (int i = 1; i < n; ++i) {
+    lo = std::min(lo, cam[i]);
+    hi = std::max(hi, cam[i]);
+  }
+  double denom = std::max(hi - lo, 1e-12);
+  for (int i = 0; i < n; ++i)
+    out[i] = static_cast<uint8_t>(255.0 * (cam[i] - lo) / denom);
+}
+
+// Compose one overlay into an RGB buffer: decode src JPEG, resize the
+// normalized CAM to the image size, LUT -> heat, heat*0.3 + img*0.5.
+bool overlay_rgb(const uint8_t* jpeg, long len, const double* cam, int g,
+                 const uint8_t* lut_rgb, std::vector<uint8_t>* out,
+                 int* w, int* h) {
+  std::vector<uint8_t> rgb;
+  if (!decode_jpeg(jpeg, len, &rgb, w, h)) return false;
+  std::vector<uint8_t> cam_u8(static_cast<size_t>(g) * g);
+  cam_norm_u8(cam, g * g, cam_u8.data());
+  std::vector<uint8_t> heat_idx(static_cast<size_t>(*w) * *h);
+  resize_u8(cam_u8.data(), g, g, *w, *h, heat_idx.data());
+  size_t npx = static_cast<size_t>(*w) * *h;
+  out->resize(npx * 3);
+  for (size_t p = 0; p < npx; ++p) {
+    const uint8_t* hc = lut_rgb + static_cast<size_t>(heat_idx[p]) * 3;
+    for (int ch = 0; ch < 3; ++ch)
+      (*out)[p * 3 + ch] = static_cast<uint8_t>(
+          hc[ch] * 0.3 + rgb[p * 3 + ch] * 0.5);
+  }
+  return true;
+}
+
+bool write_jpeg_file(const char* path, const uint8_t* rgb, int w, int h,
+                     int quality) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return false;
+  jpeg_compress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_compress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    const uint8_t* row = rgb + static_cast<size_t>(cinfo.next_scanline) * w * 3;
+    JSAMPROW jrow = const_cast<JSAMPROW>(row);
+    jpeg_write_scanlines(&cinfo, &jrow, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  std::fclose(f);
+  return true;
+}
+
+// Minimal indexed-PNG writer: IHDR(color type 3) + PLTE + one zlib IDAT of
+// filter-0 rows + IEND.  Decoded content is identical to PIL's
+// putpalette/save output; only the compressed byte stream differs.
+void png_put_u32(std::vector<uint8_t>* v, uint32_t x) {
+  v->push_back((x >> 24) & 0xff);
+  v->push_back((x >> 16) & 0xff);
+  v->push_back((x >> 8) & 0xff);
+  v->push_back(x & 0xff);
+}
+
+void png_chunk(std::vector<uint8_t>* out, const char* tag,
+               const uint8_t* data, size_t len) {
+  png_put_u32(out, static_cast<uint32_t>(len));
+  size_t start = out->size();
+  out->insert(out->end(), tag, tag + 4);
+  if (len) out->insert(out->end(), data, data + len);
+  uLong crc = crc32(0L, out->data() + start, static_cast<uInt>(len + 4));
+  png_put_u32(out, static_cast<uint32_t>(crc));
+}
+
+bool write_indexed_png(const char* path, const uint8_t* labels, int w, int h,
+                       const uint8_t* palette /* 768 bytes */, int level) {
+  std::vector<uint8_t> raw(static_cast<size_t>(h) * (w + 1));
+  for (int y = 0; y < h; ++y) {
+    uint8_t* row = raw.data() + static_cast<size_t>(y) * (w + 1);
+    row[0] = 0;  // filter: none
+    std::memcpy(row + 1, labels + static_cast<size_t>(y) * w, w);
+  }
+  uLongf comp_len = compressBound(static_cast<uLong>(raw.size()));
+  std::vector<uint8_t> comp(comp_len);
+  if (compress2(comp.data(), &comp_len, raw.data(),
+                static_cast<uLong>(raw.size()), level) != Z_OK)
+    return false;
+
+  std::vector<uint8_t> out;
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  out.insert(out.end(), sig, sig + 8);
+  uint8_t ihdr[13];
+  ihdr[0] = (w >> 24) & 0xff; ihdr[1] = (w >> 16) & 0xff;
+  ihdr[2] = (w >> 8) & 0xff;  ihdr[3] = w & 0xff;
+  ihdr[4] = (h >> 24) & 0xff; ihdr[5] = (h >> 16) & 0xff;
+  ihdr[6] = (h >> 8) & 0xff;  ihdr[7] = h & 0xff;
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 3;   // color type: indexed
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate / filter 0 / no interlace
+  png_chunk(&out, "IHDR", ihdr, 13);
+  png_chunk(&out, "PLTE", palette, 768);
+  png_chunk(&out, "IDAT", comp.data(), comp_len);
+  png_chunk(&out, "IEND", nullptr, 0);
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return false;
+  size_t wrote = std::fwrite(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  return wrote == out.size();
+}
+
+bool read_file(const char* path, std::vector<uint8_t>* buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long len = std::ftell(f);
+  if (len < 0) { std::fclose(f); return false; }
+  std::fseek(f, 0, SEEK_SET);
+  buf->resize(static_cast<size_t>(len));
+  size_t got = std::fread(buf->data(), 1, buf->size(), f);
+  std::fclose(f);
+  return got == buf->size();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compose one overlay without encoding (test hook: the composed RGB is the
+// contract; JPEG bytes are encoder-specific).  Caller provides out sized
+// w*h*3 for the KNOWN source size (use vitcam_overlay_batch for files).
+int vitcam_overlay_rgb_one(const uint8_t* jpeg, long len, const double* cam,
+                           int g, const uint8_t* lut_rgb, uint8_t* out,
+                           int max_bytes) {
+  try {
+    std::vector<uint8_t> rgb;
+    int w, h;
+    if (!overlay_rgb(jpeg, len, cam, g, lut_rgb, &rgb, &w, &h)) return -1;
+    if (static_cast<long>(rgb.size()) > max_bytes) return -1;
+    std::memcpy(out, rgb.data(), rgb.size());
+    return static_cast<int>(rgb.size());
+  } catch (...) {
+    return -1;
+  }
+}
+
+// Batch CAM-overlay render: for each image, read src_paths[i], decode,
+// overlay cams[i] ([g, g] f64, raw — normalization happens inside), write
+// a JPEG (quality q) to dst_paths[i].  Returns count of failed items.
+int vitcam_overlay_batch(const char** src_paths, const char** dst_paths,
+                         int n, const double* cams, int g,
+                         const uint8_t* lut_rgb, int quality,
+                         int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::vector<int> fails(n_threads, 0);
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      try {
+        std::vector<uint8_t> jpeg, rgb;
+        int w, h;
+        if (!read_file(src_paths[i], &jpeg)
+            || !overlay_rgb(jpeg.data(), static_cast<long>(jpeg.size()),
+                            cams + static_cast<size_t>(i) * g * g, g,
+                            lut_rgb, &rgb, &w, &h)
+            || !write_jpeg_file(dst_paths[i], rgb.data(), w, h, quality))
+          fails[tid]++;
+      } catch (...) {
+        fails[tid]++;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(work, t);
+  work(0);
+  for (auto& t : threads) t.join();
+  int total = 0;
+  for (int f : fails) total += f;
+  return total;
+}
+
+// Batch palette-PNG write: labels[i] is [sizes[2i], sizes[2i+1]] uint8,
+// palette is 768 bytes (256 RGB triples), level is the deflate level
+// (1 = fastest; content identical at any level).  Returns failed count.
+int vitcam_write_png_batch(const char** paths, const uint8_t** labels,
+                           const int32_t* sizes, int n,
+                           const uint8_t* palette, int level,
+                           int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::vector<int> fails(n_threads, 0);
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      try {
+        if (!write_indexed_png(paths[i], labels[i], sizes[i * 2 + 1],
+                               sizes[i * 2], palette, level))
+          fails[tid]++;
+      } catch (...) {
+        fails[tid]++;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(work, t);
+  work(0);
+  for (auto& t : threads) t.join();
+  int total = 0;
+  for (int f : fails) total += f;
+  return total;
+}
+
+}  // extern "C"
 
 // Decode one JPEG -> normalized float32 [out_size, out_size, 3].  0 on ok.
 // C++ exceptions (e.g. std::bad_alloc from a header claiming 65500x65500 —

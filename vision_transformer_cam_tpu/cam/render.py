@@ -110,3 +110,34 @@ def _imwrite(path: str, img_bgr: np.ndarray) -> None:
     else:
         from PIL import Image
         Image.fromarray(img_bgr[..., ::-1]).save(path)
+
+
+def jet_lut_rgb() -> np.ndarray:
+    """The 256-entry JET colormap as an RGB uint8 LUT — cv2's exact
+    COLORMAP_JET when cv2 is present, else the numpy ramp above.  This is
+    what the native overlay renderer consumes, so native output uses the
+    same colors as the Python path either way."""
+    return jet_colormap(np.arange(256, dtype=np.uint8)
+                        .reshape(256, 1))[:, 0, ::-1].copy()
+
+
+def render_rollout_overlays(cams: np.ndarray, src_paths, dst_paths) -> None:
+    """Batch rollout-CAM overlay export (the BASELINE-config-#3 artifact:
+    utils.py:111-114 semantics per image at its source size).  Routes
+    through the native threaded renderer (native/vitcam_io.cc
+    vitcam_overlay_batch: libjpeg decode, PIL-semantics u8 resize of the
+    normalized CAM, JET LUT, 0.3/0.5 double blend, libjpeg q95 encode)
+    when available; composed RGB agrees with this module's math to ±2
+    8-bit steps (resamplers differ in rounding — same class as the
+    documented cv2-vs-PIL variance of the fallback).  Falls back to the
+    per-image Python path otherwise."""
+    cams = np.asarray(cams, np.float64)
+    from vision_transformer_cam_tpu.io import native_loader
+    if native_loader.artifacts_available():
+        native_loader.overlay_batch(list(src_paths), list(dst_paths), cams,
+                                    jet_lut_rgb())
+        return
+    from PIL import Image
+    for cam, src, dst in zip(cams, src_paths, dst_paths):
+        img = np.asarray(Image.open(src).convert("RGB"))[..., ::-1]
+        _imwrite(dst, overlay_cam(cam, img))

@@ -24,7 +24,7 @@ from vision_transformer_cam_tpu import configs
 from vision_transformer_cam_tpu.cam.pseudo_seg import pseudo_seg_batch
 from vision_transformer_cam_tpu.data.loader import BatchLoader
 from vision_transformer_cam_tpu.data.palette import (load_palette_json,
-                                                     save_indexed_png)
+                                                     save_indexed_png_batch)
 from vision_transformer_cam_tpu.data.voc12 import VOC12Dataset
 from vision_transformer_cam_tpu.io import weights as wio
 from vision_transformer_cam_tpu.models import vit
@@ -208,29 +208,29 @@ def _val_loop(args, loader_iter, params, cfg, pcfg, mesh, sharding, palette,
                         need_rollout=bool(args.ori_cam_path))
         if args.ori_cam_path:
             # BASELINE config #3: rollout-CAM export with palette overlay
-            from vision_transformer_cam_tpu.cam.render import (_imwrite,
-                                                               overlay_cam)
+            # (batched native renderer when available — BENCHMARKS
+            # "End-to-end"; per-image Python fallback inside)
+            from vision_transformer_cam_tpu.cam.render import (
+                render_rollout_overlays)
+            from vision_transformer_cam_tpu.data.voc12 import get_img_path
             from vision_transformer_cam_tpu.ops.rollout import (
                 cam_from_rollout_row)
-            import PIL.Image
             cams = np.asarray(jax.device_get(
                 cam_from_rollout_row(out.rollout_row, cfg.grid_size)))
-            for i, name in enumerate(batch["name"]):
-                from vision_transformer_cam_tpu.data.voc12 import get_img_path
-                pil = PIL.Image.open(
-                    get_img_path(name, args.dataset_path)).convert("RGB")
-                bgr = np.asarray(pil)[..., ::-1]
-                _imwrite(os.path.join(args.ori_cam_path,
-                                      f"{name}_rollout_cam.jpg"),
-                         overlay_cam(cams[i], bgr))
+            render_rollout_overlays(
+                cams,
+                [get_img_path(n, args.dataset_path) for n in batch["name"]],
+                [os.path.join(args.ori_cam_path, f"{n}_rollout_cam.jpg")
+                 for n in batch["name"]])
         segs = batch["seg_label"] if isinstance(batch["seg_label"], list) \
             else list(batch["seg_label"])
         sizes = [s.shape for s in segs]
         preds = pseudo_seg_batch(out, cfg, pcfg, sizes)
         probs = np.asarray(jax.device_get(jax.nn.sigmoid(out.head1_logits)))
+        save_indexed_png_batch(
+            [os.path.join(args.seg_pred_dir, f"{n}.png")
+             for n in batch["name"]], preds, palette)
         for i, name in enumerate(batch["name"]):
-            save_indexed_png(os.path.join(args.seg_pred_dir, f"{name}.png"),
-                             preds[i], palette)
             # Documented divergence: top-16 patches no feature maps to carry
             # the reference's arange filler 21+p (validate.py:146), which
             # overflows a 21-class confusion matrix — the reference would

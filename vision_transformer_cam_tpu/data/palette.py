@@ -88,3 +88,24 @@ def save_indexed_png(path: str, labels: np.ndarray, palette: list | None = None
     img = PIL.Image.fromarray(labels.astype(np.uint8), mode="P")
     img.putpalette(palette if palette is not None else voc_palette_flat())
     img.save(path)
+
+
+def save_indexed_png_batch(paths, labels, palette: list | None = None
+                           ) -> None:
+    """Batch form of save_indexed_png: the native threaded writer
+    (native/vitcam_io.cc vitcam_write_png_batch) when available — decoded
+    content (indices + palette) is identical to the PIL path, only the
+    deflate byte stream differs — else a per-image PIL loop."""
+    labels = [np.asarray(l) for l in labels]
+    pal = palette if palette is not None else voc_palette_flat()
+    if any(l.max(initial=0) > 255 for l in labels):
+        # keep the single-image path's uint8-overflow contract
+        for p, l in zip(paths, labels):
+            save_indexed_png(p, l, pal)
+        return
+    from vision_transformer_cam_tpu.io import native_loader
+    if native_loader.artifacts_available():
+        native_loader.write_png_batch(list(paths), labels, pal)
+        return
+    for p, l in zip(paths, labels):
+        save_indexed_png(p, l, pal)

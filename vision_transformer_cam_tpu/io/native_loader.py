@@ -87,6 +87,23 @@ def load_library() -> Optional[ctypes.CDLL]:
                 dbl, dbl, i32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 i32, ctypes.c_double, ctypes.c_double,
                 ctypes.POINTER(i32), ctypes.c_int]
+        if hasattr(lib, "vitcam_overlay_batch"):
+            dbl = ctypes.POINTER(ctypes.c_double)
+            u8 = ctypes.POINTER(ctypes.c_uint8)
+            i32 = ctypes.POINTER(ctypes.c_int32)
+            lib.vitcam_overlay_rgb_one.restype = ctypes.c_int
+            lib.vitcam_overlay_rgb_one.argtypes = [
+                u8, ctypes.c_long, dbl, ctypes.c_int, u8, u8, ctypes.c_int]
+            lib.vitcam_overlay_batch.restype = ctypes.c_int
+            lib.vitcam_overlay_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.c_int, dbl, ctypes.c_int, u8, ctypes.c_int,
+                ctypes.c_int]
+            lib.vitcam_write_png_batch.restype = ctypes.c_int
+            lib.vitcam_write_png_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(u8),
+                i32, ctypes.c_int, u8, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -125,6 +142,95 @@ def compose_available() -> bool:
     .so (no toolchain on a deploy box) may lack them."""
     lib = load_library()
     return lib is not None and hasattr(lib, "vitcam_compose_batch")
+
+
+def artifacts_available() -> bool:
+    """The overlay/PNG entry points postdate decode AND compose — gate on
+    them separately so a stale .so degrades gracefully."""
+    lib = load_library()
+    return lib is not None and hasattr(lib, "vitcam_overlay_batch")
+
+
+def overlay_batch(src_paths: Sequence[str], dst_paths: Sequence[str],
+                  cams: np.ndarray, lut_rgb: np.ndarray,
+                  quality: int = 95, num_threads: int = 0) -> None:
+    """Render CAM-overlay JPEGs (reference utils.py:111-129 semantics:
+    min-max-normalize the raw [g, g] CAM, resize to the source image size,
+    JET LUT, heat*0.3 + img*0.5) for a batch of images, threaded in C.
+    lut_rgb: [256, 3] uint8 colormap in RGB order (pass cv2's JET for exact
+    reference colors — cam.render.jet_lut_rgb builds it)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "vitcam_overlay_batch"):
+        raise RuntimeError("native overlay unavailable")
+    cams = np.ascontiguousarray(cams, np.float64)
+    n, g, g2 = cams.shape
+    assert g == g2, f"cams must be [N, g, g], got {cams.shape}"
+    lut = np.ascontiguousarray(lut_rgb, np.uint8)
+    assert lut.shape == (256, 3)
+    src = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in src_paths])
+    dst = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in dst_paths])
+    if num_threads <= 0:
+        num_threads = min(n, os.cpu_count() or 1)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    fails = lib.vitcam_overlay_batch(
+        src, dst, n, cams.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        g, lut.ctypes.data_as(u8p), quality, num_threads)
+    if fails:
+        raise ValueError(f"{fails}/{n} overlay renders failed")
+
+
+def overlay_rgb_one(jpeg_bytes: bytes, cam: np.ndarray,
+                    lut_rgb: np.ndarray) -> np.ndarray:
+    """Test hook: the composed RGB buffer (pre-JPEG-encode contract)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "vitcam_overlay_rgb_one"):
+        raise RuntimeError("native overlay unavailable")
+    cam = np.ascontiguousarray(cam, np.float64)
+    g = cam.shape[0]
+    lut = np.ascontiguousarray(lut_rgb, np.uint8)
+    buf = np.frombuffer(jpeg_bytes, np.uint8)
+    # decode once in Python just for the output size
+    import PIL.Image
+    import io as _io
+    w, h = PIL.Image.open(_io.BytesIO(jpeg_bytes)).size
+    out = np.empty((h, w, 3), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    got = lib.vitcam_overlay_rgb_one(
+        buf.ctypes.data_as(u8p), len(jpeg_bytes),
+        cam.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), g,
+        lut.ctypes.data_as(u8p), out.ctypes.data_as(u8p), out.nbytes)
+    if got != out.nbytes:
+        raise ValueError(f"native overlay failed (returned {got})")
+    return out
+
+
+def write_png_batch(paths: Sequence[str], labels: Sequence[np.ndarray],
+                    palette_flat: Sequence[int], level: int = 1,
+                    num_threads: int = 0) -> None:
+    """Write [H, W] uint8 label maps as palette PNGs (decoded content
+    identical to PIL putpalette/save; deflate level 1 — the artifact is the
+    pixel data, not the byte stream), threaded in C."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "vitcam_write_png_batch"):
+        raise RuntimeError("native PNG writer unavailable")
+    n = len(paths)
+    labs = [np.ascontiguousarray(l, np.uint8) for l in labels]
+    pal = np.zeros(768, np.uint8)
+    pf = np.asarray(list(palette_flat), np.uint8)
+    pal[:pf.size] = pf
+    sizes = np.ascontiguousarray(
+        np.asarray([l.shape for l in labs], np.int32))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    path_arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    lab_ptrs = (u8p * n)(*[l.ctypes.data_as(u8p) for l in labs])
+    if num_threads <= 0:
+        num_threads = min(n, os.cpu_count() or 1)
+    fails = lib.vitcam_write_png_batch(
+        path_arr, lab_ptrs,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+        pal.ctypes.data_as(u8p), level, num_threads)
+    if fails:
+        raise ValueError(f"{fails}/{n} PNG writes failed")
 
 
 def compose_batch(cos_maps: np.ndarray, bg_rows: np.ndarray,
