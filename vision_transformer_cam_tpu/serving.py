@@ -71,14 +71,18 @@ def serving_config(cfg, mode: str):
         # W8A8 but the attention probabilities (and hence the rollout CAM)
         # are computed from unquantized bf16 q/k/v
         if cfg.seq_len > 640:
-            # >1k-token regime: int8 attention I/O measured STRICTLY WORSE
-            # than the output-only int8 path — 220.1 vs 223.1 img/s at
-            # N=1025 (ViT-L/16@512, 36 MB partition, batch 32) AND lower CAM
-            # fidelity.  The quantize epilogues that pay for themselves at
-            # N<=577 lose once the kernel is q-blocked at 384 rows; the
-            # "int8" tier therefore routes its attention through the hifi
-            # kernel here (GEMMs stay W8A8 — only the attention I/O story
-            # changes).  BENCHMARKS "ViT-L/16@512".
+            # >1k-token regime: int8 attention I/O measured slower than
+            # the output-only int8 path — 220.1 vs 223.1 img/s at N=1025
+            # (ViT-L/16@512, 36 MB partition, batch 32).  The quantize
+            # epilogues that pay for themselves at N<=577 lose once the
+            # kernel is q-blocked at 384 rows; the "int8" tier therefore
+            # routes its attention through the hifi kernel here (GEMMs
+            # stay W8A8 — only the attention I/O story changes).  Fidelity
+            # between the two routes is EQUIVALENT, not better: a
+            # two-replicate trained-weights eval at @512 flips sign on
+            # every consistency metric between seeds (BENCHMARKS
+            # "ViT-L/16@512 quality"), so the reroute stands on
+            # throughput alone.
             cfg = cfg.replace(int8_attn_out=True)
         else:
             cfg = cfg.replace(int8_attn_io=True)
